@@ -1,0 +1,56 @@
+"""Pipeline configuration.
+
+Mirrors the knobs of the reference's ``Config`` /
+``EntityExtractionConfig`` / ``EntityLinkingConfig`` / ``GleaningConfig``
+(graphrag-rs: config/mod.rs:844-910, entity/string_similarity_linker.rs:17-52,
+entity/gleaning_extractor.rs:22-57) plus Spark-scale knobs (partitions,
+blocking caps, salting) that have no single-process counterpart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- chunking (reference defaults config/mod.rs:850-855) ---
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+    min_chunk_size: int = 50  # text/chunking.rs:29
+    chunker: str = "hierarchical"  # "hierarchical" | "fixed"
+
+    # --- document assembly (ours; north-rule stage) ---
+    turn_separator: str = "\n"
+
+    # --- extraction (entity/mod.rs:97-156; defaults mod.rs:104-116) ---
+    entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
+    min_confidence: float = 0.5
+    extract_relationships: bool = True
+    relationship_confidence: float = 0.5  # config/mod.rs:887-889
+    max_gleaning_rounds: int = 1  # >1 enables multi-pass extraction
+
+    # --- canonicalization (string_similarity_linker.rs:40-52) ---
+    link_min_similarity: float = 0.85
+    link_max_edit_distance: int = 2
+    link_use_phonetic: bool = False
+    link_fuzzy_matching: bool = True
+    # Spark-scale: blocking-key block-size cap. Blocks larger than this are
+    # dropped from candidate generation (logged); the reference compares ALL
+    # pairs (O(n²), string_similarity_linker.rs:79-103) which cannot scale.
+    max_block_size: int = 4096
+
+    # --- graph materialization ---
+    # salting fan-out for hub-entity edge re-pointing joins
+    salt_buckets: int = 16
+
+    # --- spark-scale knobs ---
+    shuffle_partitions: int = 32
+    arrow_max_records_per_batch: int = 2048
+
+    # extra entity types routed to the generic extractor
+    extra_entity_types: tuple[str, ...] = field(default=())
+
+    @property
+    def all_entity_types(self) -> tuple[str, ...]:
+        return tuple(self.entity_types) + tuple(self.extra_entity_types)
