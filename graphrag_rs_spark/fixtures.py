@@ -1,0 +1,167 @@
+"""Deterministic synthetic transcript fixtures.
+
+Seeded generator for the pipeline's primary input table
+``transcripts(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` (shape from BASELINE.json input_hint).
+
+Entity/relation plants follow the reference's bench generator dictionaries
+(graphrag-rs benches/graph_construction.rs:168-256): titled people, orgs
+with suffixes, known locations, relation trigger phrases, plus near-duplicate
+surface forms to exercise canonicalization. Per-conversation RNG is seeded
+from (seed, conv index) so generation is deterministic and order/partition
+independent — the same conv_id always gets the same turns, whether generated
+on the driver or inside a distributed ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+PEOPLE = [
+    "Dr. John Smith", "John Smith", "Jon Smith", "Jhon Smith",
+    "Alice Johnson", "Alice Johnsen",
+    "Prof. Robert Brown", "Robert Brown", "Rupert Brown",
+    "Mary Williamson", "Marry Williamson",
+    "David Patterson", "Dave Patterson",
+    "Sarah Henderson", "Captain James Crawford", "James Crawford",
+    "Emma Thompson", "Laura Bennett", "Michael Anderson", "Mikael Anderson",
+]
+
+ORGS = [
+    "Microsoft Corporation", "Acme Corp", "Globex Inc", "Initech LLC",
+    "Stanford University", "University of Chicago", "Institute of Technology",
+    "Wayne Group", "Stark Solutions", "Umbrella Technologies", "Hooli Ltd",
+]
+
+LOCATIONS = [
+    "Seattle", "New York", "New York City", "California", "London", "Paris",
+    "Tokyo", "Berlin", "Washington", "Boston", "Chicago", "United States",
+]
+
+RELATION_PHRASES = [
+    "works for", "is employed by", "founded", "is the CEO of", "was born in",
+    "comes from", "lives in", "is based in", "is headquartered in",
+    "married", "is the spouse of", "is a colleague of", "partnered with",
+    "met", "visited", "joined",
+]
+
+FILLER_SENTENCES = [
+    "Could you summarize the earlier discussion for me please.",
+    "That sounds reasonable, let us continue with the plan as agreed.",
+    "I ran the analysis again and the results look consistent overall.",
+    "Please double check the numbers before we publish the final report.",
+    "The weather made travel difficult but everyone arrived on schedule.",
+    "We should schedule a follow up meeting to review these conclusions.",
+    "Here is the relevant excerpt from the archived project notes today.",
+    "Understood, I will take care of the remaining items this afternoon.",
+]
+
+TOOLS = [None, None, None, "search", "calculator", "code_interpreter"]
+
+_EPOCH = datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _turn_text(rng: random.Random) -> str:
+    """One turn: 1-3 sentences, ~40% carrying an entity/relation plant."""
+    sentences = []
+    for _ in range(rng.randint(1, 3)):
+        roll = rng.random()
+        if roll < 0.18:
+            p = rng.choice(PEOPLE)
+            o = rng.choice(ORGS)
+            rel = rng.choice(RELATION_PHRASES[:4])
+            sentences.append(f"{p} {rel} {o}.")
+        elif roll < 0.30:
+            p = rng.choice(PEOPLE)
+            loc = rng.choice(LOCATIONS)
+            rel = rng.choice(RELATION_PHRASES[4:8])
+            sentences.append(f"{p} {rel} {loc}.")
+        elif roll < 0.38:
+            p1, p2 = rng.sample(PEOPLE, 2)
+            rel = rng.choice(RELATION_PHRASES[9:13])
+            sentences.append(f"{p1} {rel} {p2}.")
+        elif roll < 0.44:
+            o = rng.choice(ORGS)
+            loc = rng.choice(LOCATIONS)
+            sentences.append(f"{o} is headquartered in {loc}.")
+        else:
+            sentences.append(rng.choice(FILLER_SENTENCES))
+    return " ".join(sentences)
+
+
+def generate_conversation(conv_index: int, seed: int = 42, mega_every: int = 50,
+                          mega_turns: int = 200) -> list[dict]:
+    """All turns of one conversation — deterministic in (seed, conv_index).
+
+    Every ``mega_every``-th conversation is a "mega conversation" with
+    ``mega_turns`` turns (Zipf-ish skew per FIXTURES.md §1) to exercise the
+    skew handling paths.
+    """
+    rng = random.Random((seed << 20) ^ conv_index)
+    conv_id = f"conv{conv_index:08d}"
+    if mega_every and conv_index % mega_every == 0:
+        n_turns = mega_turns
+    else:
+        n_turns = rng.randint(3, 20)
+    base_ts = _EPOCH + timedelta(hours=conv_index % 10_000)
+    rows = []
+    for t in range(n_turns):
+        role = "user" if t % 2 == 0 else "assistant"
+        tool = rng.choice(TOOLS)
+        if tool is not None and role == "assistant":
+            role = "tool"
+        else:
+            tool = None
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": _turn_text(rng),
+                "tool": tool,
+                "ts": base_ts + timedelta(seconds=30 * t),
+            }
+        )
+    return rows
+
+
+def generate_transcripts(n_conversations: int, seed: int = 42, **kw) -> list[dict]:
+    rows = []
+    for i in range(n_conversations):
+        rows.extend(generate_conversation(i, seed=seed, **kw))
+    return rows
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def transcripts_df(spark, n_conversations: int, seed: int = 42, *,
+                   distributed: bool = False, partitions: int | None = None, **kw):
+    """Build the transcripts DataFrame.
+
+    ``distributed=True`` generates inside executors via ``mapInPandas`` over
+    ``spark.range`` (one row per conversation) — the generator never funnels
+    through the driver, so bench-scale inputs stay distributed.
+    """
+    if not distributed:
+        return spark.createDataFrame(generate_transcripts(n_conversations, seed=seed, **kw),
+                                     schema=TRANSCRIPT_SCHEMA)
+
+    import pandas as pd  # local import: executors re-import this module
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for conv_index in pdf["id"]:
+                out.extend(generate_conversation(int(conv_index), seed=seed, **kw))
+            yield pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    rng_df = spark.range(n_conversations)
+    if partitions:
+        rng_df = rng_df.repartition(partitions)
+    return rng_df.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

@@ -1,0 +1,49 @@
+"""JVM-side column helpers (built-in ``pyspark.sql.functions`` only).
+
+Everything here stays inside Catalyst/whole-stage-codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_name_col(name: Column) -> Column:
+    """JVM equivalent of rules.similarity.normalize_string for ASCII input:
+    lowercase, strip non-alnum/space, squash whitespace, trim."""
+    lowered = F.lower(name)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def cosine_similarity_col(v1: Column, v2: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, fully JVM-side:
+    zip_with for the dot product, aggregate for the norms."""
+    dot = F.aggregate(
+        F.zip_with(v1, v2, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(v1, F.lit(0.0), lambda acc, x: acc + x * x))
+    n2 = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
+
+
+def salted_join_small_side(small: DataFrame, key: str, buckets: int) -> DataFrame:
+    """Replicate the small side of a skewed join over ``buckets`` salt values.
+
+    Classic skew-join salting: the big side derives ``_salt`` deterministically
+    (e.g. pmod(xxhash64(varying_col), buckets)); the small side is exploded
+    so every (key, salt) bucket can be joined without one reducer owning a
+    hub key's entire row set.
+    """
+    return small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+
+
+def with_salt(df: DataFrame, varying_col: str, buckets: int) -> DataFrame:
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(varying_col)), F.lit(buckets)).cast("int")
+    )

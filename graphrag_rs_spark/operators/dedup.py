@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+* :func:`exact_dedup`        — hash-groupBy on normalized content
+* :func:`minhash_lsh_dedup`  — shingle → minhash → band → bucket self-join
+* :func:`simhash_signatures` — 64-bit SimHash over token hashes
+* :func:`ngram_jaccard_pairs`— word n-gram Jaccard over LSH candidates
+* :func:`embedding_near_dup` — cosine near-duplicate pairs over embeddings
+
+Design: signatures are computed with BUILT-IN functions wherever possible
+(xxhash64 over shingles via higher-order array functions — JVM-side); only
+SimHash's bit-vote accumulation uses a vectorized pandas UDF. Candidate
+generation is always banded/blocked — never an all-pairs cross join — so
+each stage is a bounded self-join that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.functions import cosine_similarity_col
+
+
+def _norm_text(text_col: str):
+    return F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized content: keeper id (min), dup count.
+
+    groupBy on a 64-bit content hash — map-side combine absorbs the skew of
+    heavily duplicated boilerplate documents.
+    """
+    hashed = df.select(F.col(id_col), F.xxhash64(_norm_text(text_col)).alias("content_hash"))
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _shingle_hashes(text_col: str, shingle: int = 5):
+    """array<long> of xxhash64 over word shingles — all JVM-side."""
+    toks = F.split(_norm_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, shingle), " ")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — minhash via num_hashes universal-hash
+    permutations h_i(x) = (a_i·(x mod p) + b_i) mod p over the Mersenne
+    prime p = 2^31 − 1 (intermediates stay < 2^62, safe under ANSI mode),
+    min-aggregated JVM-side with higher-order array functions."""
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    shingles = _shingle_hashes(text_col, shingle)
+    sig = F.array(
+        *[
+            F.aggregate(
+                shingles,
+                F.lit(p).cast("long"),
+                lambda acc, x, a=a, b=b: F.least(
+                    acc, F.pmod(F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
+                ),
+            )
+            for a, b in coeffs
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id1, id2, est_jaccard ≥ threshold).
+
+    banding: signature split into ``bands`` bands of r = num_hashes/bands
+    rows; docs sharing any band bucket become candidates; estimated Jaccard
+    = fraction of matching minhash positions. The band self-join is the only
+    shuffle; bucket sizes are bounded by construction (identical boilerplate
+    collapses into one bucket but the pair output is still per-bucket
+    quadratic — run exact_dedup FIRST to strip exact copies).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id1"), F.col("sig").alias("sig1")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id2"), F.col("sig").alias("sig2")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    # estimated jaccard = matching minhash positions / num_hashes
+    cand = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
+        .cast("double")
+        / F.lit(float(num_hashes)),
+    )
+    return cand.where(F.col("est_jaccard") >= jaccard_threshold).select(
+        "id1", "id2", "est_jaccard"
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document (bit-vote over token xxhash64 values).
+
+    The vote accumulation is a vectorized pandas UDF over Arrow batches
+    (numpy bit unpacking — no per-row Python loops over bits).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.transform(F.split(_norm_text(text_col), " "), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    def simhash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, hashes in zip(pdf[pdf.columns[0]], pdf["th"]):
+                arr = np.asarray(hashes, dtype=np.uint64)
+                if arr.size == 0:
+                    out.append((doc_id, 0))
+                    continue
+                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+                votes = bits * 2 > arr.size
+                val = 0
+                for i in np.nonzero(votes)[0]:
+                    val |= 1 << int(i)
+                # fold to signed int64 for Spark LongType
+                if val >= 2**63:
+                    val -= 2**64
+                out.append((doc_id, val))
+            yield pd.DataFrame(out, columns=[pdf.columns[0], "simhash"])
+
+    return toks.mapInPandas(simhash_batches, schema=f"{id_col} long, simhash long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact word n-gram Jaccard over MinHash-LSH candidates: LSH prunes the
+    pair space, then the true Jaccard is computed JVM-side on the shingle
+    hash sets (array_intersect / array_union)."""
+    cands = minhash_lsh_dedup(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle=n, jaccard_threshold=0.0, seed=seed,
+    )
+    grams = df.select(F.col(id_col), _shingle_hashes(text_col, n).alias("grams"))
+    joined = (
+        cands.join(grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("g1")), "id1")
+        .join(grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("g2")), "id2")
+    )
+    jacc = F.size(F.array_intersect("g1", "g2")).cast("double") / F.greatest(
+        F.size(F.array_union("g1", "g2")), F.lit(1)
+    ).cast("double")
+    return joined.select("id1", "id2", jacc.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
+
+    Sign-pattern bucket (n_planes random hyperplanes) → per-bucket
+    self-join → exact JVM-side cosine filter. Near-identical vectors agree
+    on every plane, so recall at threshold ≥ 0.95 is high; raise bands by
+    calling with several seeds and unioning if more recall is needed.
+    """
+    import random
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    def plane_bit(vec, plane):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[plane_bit(F.col(vec_col), p) for p in planes])
+    buckets = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    left = buckets.select(
+        "bucket", F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    right = buckets.select(
+        "bucket", F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    pairs = left.join(right, "bucket").where(F.col("id1") < F.col("id2"))
+    cos = cosine_similarity_col(F.col("v1"), F.col("v2"))
+    return pairs.select("id1", "id2", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,122 @@
+"""Distributed graph primitives: connected components, degree, communities.
+
+Connected components uses the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+the standard shuffle-efficient CC for DataFrame engines. It replaces BOTH
+
+* the reference's greedy similarity clustering transitive closure
+  (graphrag-rs string_similarity_linker.rs:68-127), and
+* its BFS "community detection" (graph/analytics.rs:97-176),
+
+which are single-process loops that cannot scale. Convergence is
+O(log² n) rounds; each round is two shuffles (groupBy min + join). Labels
+are numeric (xxhash64 of the string id) during iteration to keep shuffle
+rows narrow; string ids are restored by one final join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect all strictly-larger neighbors of u to min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to (larger, smaller); connect smaller neighbors + u to min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return nbr_edges.union(self_edges).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 50
+) -> DataFrame:
+    """Edge list → (id string, component string) where component is the
+    minimum xxhash-order member id of each connected component.
+
+    Deterministic: component representative is chosen by hash order, then the
+    final output maps back to the MINIMUM STRING id per component so callers
+    see a stable, human-readable representative.
+    """
+    spark = edges.sparkSession
+    ids = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    # numeric surrogate labels keep the iterated shuffles narrow
+    id_map = ids.select("id", F.xxhash64("id").alias("h")).localCheckpoint(eager=True)
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .join(id_map.select(F.col("id").alias("s"), F.col("h").alias("u")), "s")
+        .join(id_map.select(F.col("id").alias("d"), F.col("h").alias("v")), "d")
+        .select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    if e.isEmpty():
+        return ids.select("id", F.col("id").alias("component"))
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # convergence: edge-set signature (count + xor of hashes) stable;
+        # bit_xor is order-independent and cannot overflow under ANSI mode
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        ).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # e is now a star forest: (member_h, root_h); roots map to themselves
+    membership = e.select(F.col("u").alias("h"), F.col("v").alias("root_h"))
+    membership = id_map.join(membership, "h", "left").select(
+        "id", "h", F.coalesce("root_h", "h").alias("root_h")
+    )
+    # stable representative: min string id per root
+    reps = membership.groupBy("root_h").agg(F.min("id").alias("component"))
+    return membership.join(reps, "root_h").select("id", "component")
+
+
+def degrees(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Edge count per node (graph/analytics.rs:69-89): each edge contributes
+    one to both endpoints."""
+    endpoints = edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("id"))
+    return endpoints.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def communities(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Connected-component communities with sizes (graph/analytics.rs:97-176
+    semantics: components-as-communities; stats per leiden.rs:106-120)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("community_size"))
+    return cc.join(sizes, "component").select(
+        "id",
+        F.col("component").alias("community_id"),
+        "community_size",
+    )

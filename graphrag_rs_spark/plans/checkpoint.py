@@ -1,0 +1,171 @@
+"""Per-stage checkpointing with per-partition lineage and exact resume.
+
+Mirrors the reference's incremental/rollback semantics (graphrag-rs
+graph/incremental.rs:196-341: GraphDelta, transactions, rollback; versioned
+auto-save config/mod.rs:107-123) re-expressed as table snapshots:
+
+* every stage writes its output table plus a ``_lineage`` table with one row
+  per output partition ``(stage, partition_id, row_count, checksum)`` and a
+  ``manifest.json`` carrying the stage fingerprint (content hash of the
+  stage name, its config, and its upstream fingerprints — the analogue of
+  incremental/mod.rs:47-51's content-hash change detection);
+* resume = if a manifest with a matching fingerprint exists, the stage is
+  served from its checkpoint and NOT recomputed;
+* a fingerprint mismatch (changed config or upstream) invalidates the stage
+  and everything downstream — exactly the delta/rollback contract.
+
+Storage here is parquet + JSON manifests (this sandbox has no Iceberg
+runtime jar); the interface is 1:1 with an Iceberg deployment where
+``write`` → ``df.writeTo(...).using("iceberg")``, the manifest → table
+properties on the snapshot, and rollback → ``CALL rollback_to_snapshot``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "stage string, partition_id int, row_count long, checksum long"
+
+
+def _fingerprint(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+class CheckpointManager:
+    """Directory layout::
+
+        <base>/<stage>/data/        parquet output
+        <base>/<stage>/lineage/     parquet per-partition lineage
+        <base>/<stage>/manifest.json
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self._fingerprints: dict[str, str] = {}
+        self.stages_computed: list[str] = []
+        self.stages_resumed: list[str] = []
+
+    # -- paths -----------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "manifest.json")
+
+    # -- public API ------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        compute,
+        config_repr: str = "",
+        upstreams: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Run (or resume) one stage.
+
+        ``compute`` is a zero-arg callable returning the stage DataFrame.
+        """
+        upstream_fps = tuple(self._fingerprints.get(u, "?") for u in upstreams)
+        fp = _fingerprint(name, config_repr, *upstream_fps)
+        self._fingerprints[name] = fp
+
+        data_dir = os.path.join(self._stage_dir(name), "data")
+        manifest_path = self._manifest_path(name)
+
+        manifest = self._read_manifest(manifest_path)
+        if manifest and manifest.get("fingerprint") == fp and manifest.get("committed"):
+            self.stages_resumed.append(name)
+            return self.spark.read.parquet(data_dir)
+
+        # (re)compute: invalidate any stale artifact first
+        if os.path.exists(self._stage_dir(name)):
+            shutil.rmtree(self._stage_dir(name))
+
+        t0 = time.monotonic()
+        df = compute()
+        df.write.mode("overwrite").parquet(data_dir)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        out = self.spark.read.parquet(data_dir)
+        lineage = self._lineage_for(name, out)
+        lineage_dir = os.path.join(self._stage_dir(name), "lineage")
+        lineage.write.mode("overwrite").parquet(lineage_dir)
+
+        totals = self.spark.read.parquet(lineage_dir).agg(
+            F.sum("row_count").alias("rows"),
+            F.expr("bit_xor(checksum)").alias("checksum"),
+        ).collect()[0]
+
+        self._write_manifest(
+            manifest_path,
+            {
+                "stage": name,
+                "fingerprint": fp,
+                "upstreams": list(upstreams),
+                "row_count": int(totals["rows"] or 0),
+                "checksum": int(totals["checksum"] or 0),
+                "wall_ms": wall_ms,
+                "committed": True,
+            },
+        )
+        self.stages_computed.append(name)
+        return out
+
+    def rollback(self, stage: str) -> None:
+        """Drop a stage's snapshot (and force recompute on next run) —
+        the analogue of Iceberg ``rollback_to_snapshot`` /
+        GraphDelta rollback (graph/incremental.rs:253-301)."""
+        d = self._stage_dir(stage)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def lineage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "lineage"))
+
+    def manifest(self, stage: str) -> dict | None:
+        return self._read_manifest(self._manifest_path(stage))
+
+    # -- internals -------------------------------------------------------
+    def _lineage_for(self, stage: str, df: DataFrame) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in df.columns]
+        return (
+            df.select(
+                F.spark_partition_id().alias("partition_id"),
+                F.xxhash64(*cols).alias("row_hash"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.expr("bit_xor(row_hash)").alias("checksum"),
+            )
+            .select(F.lit(stage).alias("stage"), "partition_id", "row_count", "checksum")
+        )
+
+    @staticmethod
+    def _read_manifest(path: str) -> dict | None:
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    @staticmethod
+    def _write_manifest(path: str, manifest: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, path)  # atomic commit

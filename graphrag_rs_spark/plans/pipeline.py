@@ -1,0 +1,112 @@
+"""End-to-end KG-construction pipeline.
+
+The canonical stage IR chain (SURVEY.md §3):
+
+    transcripts → documents → chunks → extraction → {mentions,
+    entities_raw, edges_raw} → clusters → {nodes, edges, node_stats}
+
+Each named stage optionally checkpoints through a
+:class:`~graphrag_rs_spark.plans.checkpoint.CheckpointManager`; without one
+the DAG is a single lazy Catalyst plan (extraction is cached since three
+tables branch from it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.operators.assembly import assemble_documents
+from graphrag_rs_spark.operators.canonicalize import canonicalize_entities
+from graphrag_rs_spark.operators.chunking import chunk_documents
+from graphrag_rs_spark.operators.extraction import (
+    edges_raw_table,
+    entities_raw_table,
+    extract_chunks,
+    extract_gleaning,
+    mentions_table,
+)
+from graphrag_rs_spark.operators.materialize import materialize_graph
+from graphrag_rs_spark.plans.checkpoint import CheckpointManager
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full build; returns every stage table by name."""
+    config = config or PipelineConfig()
+    cfg_repr = repr(sorted(asdict(config).items()))
+    ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+
+    def stage(name: str, fn, upstreams: tuple[str, ...] = ()) -> DataFrame:
+        if ckpt is None:
+            return fn()
+        return ckpt.stage(name, fn, config_repr=cfg_repr, upstreams=upstreams)
+
+    documents = stage(
+        "documents",
+        lambda: assemble_documents(transcripts, separator=config.turn_separator),
+    )
+    chunks = stage("chunks", lambda: chunk_documents(documents, config), ("documents",))
+
+    def _extract():
+        if config.max_gleaning_rounds > 1:
+            return extract_gleaning(chunks, config)
+        return extract_chunks(chunks, config)
+
+    extraction = stage("extraction", _extract, ("chunks",))
+    if ckpt is None:
+        extraction = extraction.cache()  # three tables branch from it
+
+    mentions = mentions_table(extraction)
+    entities_raw = stage(
+        "entities_raw", lambda: entities_raw_table(extraction), ("extraction",)
+    )
+    edges_raw = stage(
+        "edges_raw",
+        lambda: edges_raw_table(extraction, config.relationship_confidence),
+        ("extraction",),
+    )
+    clusters = stage(
+        "clusters", lambda: canonicalize_entities(entities_raw, config), ("entities_raw",)
+    )
+
+    def _materialize():
+        return materialize_graph(edges_raw, clusters, entities_raw, config)
+
+    if ckpt is None:
+        nodes, edges, node_stats = _materialize()
+    else:
+        # materialize returns three tables; checkpoint each
+        nodes_, edges_, stats_ = _materialize()
+        nodes = ckpt.stage(
+            "nodes", lambda: nodes_, config_repr=cfg_repr,
+            upstreams=("clusters", "entities_raw"),
+        )
+        edges = ckpt.stage(
+            "edges", lambda: edges_, config_repr=cfg_repr,
+            upstreams=("edges_raw", "clusters"),
+        )
+        node_stats = ckpt.stage(
+            "node_stats", lambda: stats_, config_repr=cfg_repr,
+            upstreams=("edges", "nodes"),
+        )
+
+    return {
+        "documents": documents,
+        "chunks": chunks,
+        "extraction": extraction,
+        "mentions": mentions,
+        "entities_raw": entities_raw,
+        "edges_raw": edges_raw,
+        "clusters": clusters,
+        "nodes": nodes,
+        "edges": edges,
+        "node_stats": node_stats,
+        "_checkpoint": ckpt,
+    }
