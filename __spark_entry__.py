@@ -1,38 +1,696 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG build (transcripts → nodes/edges)
+on a deterministic synthetic transcript table (BASELINE.json input_hint
+shape).  ``queries()`` exposes every implemented operator family from
+SURVEY.md §2; where the semantics are ANSI-SQL-expressible the matching
+``oracle_sql()`` entry lets the driver cross-check against DuckDB on the
+same parquet tables.  KG-pipeline stages (pattern extraction,
+canonicalization, greedy-cluster replay) are not SQL-expressible — those
+entries are rows-only and are instead verified against the single-process
+Python oracle in ``graphrag_rs_spark/oracle.py`` by the pytest suite
+(triple P/R ≥ 0.95 gate).
+
+Column-name/type parity: every computed column is aliased identically on
+both sides and counts are cast to BIGINT so the driver's sorted-column
+value hash compares like for like.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.fixtures import transcripts_df
+from graphrag_rs_spark.operators.assembly import assemble_documents
+from graphrag_rs_spark.operators.chunking import chunk_documents
+from graphrag_rs_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from graphrag_rs_spark.operators.graph import connected_components, degrees
+from graphrag_rs_spark.operators.similarity_search import (
+    brute_force_knn,
+    ivf_knn,
+    lsh_knn,
+)
+from graphrag_rs_spark.operators.text_analysis import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from graphrag_rs_spark.operators.retrieval import (
+    BM25_STOPWORDS,
+    KEYWORD_STOPWORDS,
+    bm25_scores,
+    keywords_tf,
+    pagerank,
+    rrf_fuse,
+    semantic_similarity_edges,
+    snapshot_range,
+)
+from graphrag_rs_spark.plans.pipeline import build_graph
+
+# ---------------------------------------------------------------------------
+# input helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _fixture_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcripts (input_hint shape), sized by sf."""
+    sf = _sf_of(sf_dir)
+    n_convs = max(30, int(3000 * sf))
+    return transcripts_df(spark, n_convs, seed=42)
+
+
+def _transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts view over the driver's events table —
+    (user, ts-ordered events) ↦ (conv_id, turn_idx, …) so document assembly
+    has a DuckDB-checkable oracle."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - F.lit(1)).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").alias("ts"),
+    )
+
+
+def _nation_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path graph per region over nation — a small deterministic edge list
+    whose connected components / degrees have closed-form SQL oracles."""
+    n = _read(spark, sf_dir, "nation")
+    nn = n.select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").alias("g"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+    )
+    w = Window.partitionBy("g").orderBy("k")
+    chain = nn.withColumn("prev", F.lag("id").over(w))
+    return chain.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("id").alias("dst")
+    )
+
+
+_KG_CONFIG = PipelineConfig()
+
+# The driver evaluates every queries() entry in one process; the KG stage
+# tables share one build per (session, sf_dir), with the expensive stages
+# cached so each stage query re-reads rather than re-extracts.
+_KG_MEMO: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _KG_MEMO:
+        tables = build_graph(spark, _fixture_transcripts(spark, sf_dir), _KG_CONFIG)
+        for name in ("clusters", "nodes", "edges", "node_stats"):
+            tables[name] = tables[name].cache()
+        _KG_MEMO[key] = tables
+    return _KG_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG build over synthetic transcripts at tiny scale;
+    returns the canonical edges table (subj, pred, obj, confidence, context)."""
+    tables = _kg_tables(spark, "/root/testdata/sf0.001")
+    return tables["edges"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- Stage A: document assembly (oracle-checked) ----
+    def doc_assembly(spark, sf_dir):
+        docs = assemble_documents(_transcripts_from_events(spark, sf_dir))
+        return docs.select(
+            "conv_id",
+            "full_text",
+            F.col("n_turns").cast("long").alias("n_turns"),
+        )
+
+    q["doc_assembly"] = doc_assembly
+
+    # ---- KG pipeline stages over synthetic transcripts (rows-only) ----
+    def kg_chunks(spark, sf_dir):
+        docs = assemble_documents(_fixture_transcripts(spark, sf_dir))
+        return chunk_documents(docs, _KG_CONFIG)
+
+    q["kg_chunks"] = kg_chunks
+
+    def _kg_stage(name):
+        def run(spark, sf_dir):
+            return _kg_tables(spark, sf_dir)[name]
+
+        return run
+
+    q["kg_mentions"] = _kg_stage("mentions")
+    q["kg_entities_raw"] = lambda spark, sf_dir: _kg_tables(spark, sf_dir)[
+        "entities_raw"
+    ].drop("order_key")
+    q["kg_clusters"] = _kg_stage("clusters")
+    q["kg_nodes"] = _kg_stage("nodes")
+    q["kg_edges"] = _kg_stage("edges")
+    q["kg_node_stats"] = _kg_stage("node_stats")
+
+    # ---- graph primitives (oracle-checked on the nation path graph) ----
+    def graph_cc(spark, sf_dir):
+        cc = connected_components(
+            _nation_chain_edges(spark, sf_dir), src="src", dst="dst"
+        )
+        return cc.select("id", "component")
+
+    q["graph_connected_components"] = graph_cc
+
+    def graph_degrees(spark, sf_dir):
+        deg = degrees(_nation_chain_edges(spark, sf_dir), src="src", dst="dst")
+        return deg.select("id", F.col("degree").cast("long").alias("degree"))
+
+    q["graph_degrees"] = graph_degrees
+
+    # ---- dedup suite over documents ----
+    def dedup_exact(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").cast("long").alias("keep_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8, num_hashes=128, bands=64
+        )
+        return pairs.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.col("jaccard").alias("jaccard"),
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_ngram
+
+    def dedup_minhash(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        pairs = minhash_lsh_dedup(
+            docs, "text", "doc_id", num_hashes=128, bands=32, jaccard_threshold=0.7
+        )
+        return pairs.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.col("est_jaccard").alias("est_jaccard"),
+        )
+
+    q["dedup_minhash_lsh"] = dedup_minhash
+
+    def dedup_simhash(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return simhash_signatures(docs, "text", "doc_id")
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_embedding(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.95)
+
+    q["dedup_embedding_cosine"] = dedup_embedding
+
+    # ---- text analysis over documents (oracle-checked) ----
+    def text_tokens(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        t = token_counts(docs, "text", "doc_id")
+        return t.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+        )
+
+    q["text_token_counts"] = text_tokens
+
+    def text_quality(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        s = quality_scores(docs, "text", "doc_id")
+        return s.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_token_len",
+            "punct_ratio",
+            "upper_ratio",
+            "stopword_ratio",
+            "quality_score",
+        )
+
+    q["text_quality"] = text_quality
+
+    def text_lang(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        l = language_id(docs, "text", "doc_id")
+        return l.select(
+            "doc_id",
+            *[F.col(f"hits_{x}").cast("long").alias(f"hits_{x}") for x in
+              ("en", "de", "fr", "es")],
+            "lang_pred",
+        )
+
+    q["text_language_id"] = text_lang
+
+    def text_fp(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return fingerprints(docs, "text", "doc_id").select("doc_id", "content_md5")
+
+    q["text_fingerprints"] = text_fp
+
+    # ---- similarity search over embeddings ----
+    def knn_exact(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = brute_force_knn(emb, qs, k=10)
+        return r.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["knn_bruteforce"] = knn_exact
+
+    def knn_lsh_q(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = lsh_knn(emb, qs, k=10)
+        return r.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+    q["knn_lsh"] = knn_lsh_q
+
+    def knn_ivf_q(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = ivf_knn(emb, qs, k=10)
+        return r.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+    q["knn_ivf"] = knn_ivf_q
+
+    # ---- retrieval / query-side operators ----
+    def bm25_topk(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        r = bm25_scores(docs, "spark table scan merge window", limit=10)
+        return r.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_topk"] = bm25_topk
+
+    def rrf_fusion(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        w_chars = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        a = (
+            docs.select("doc_id", F.row_number().over(w_chars).alias("rank"))
+            .where(F.col("rank") <= 20)
+            .select(
+                F.lit("by_chars").alias("list_id"),
+                F.col("doc_id").alias("item_id"),
+                "rank",
+            )
+        )
+        w_id = Window.orderBy(F.asc("doc_id"))
+        b = (
+            docs.select("doc_id", F.row_number().over(w_id).alias("rank"))
+            .where(F.col("rank") <= 20)
+            .select(
+                F.lit("by_id").alias("list_id"),
+                F.col("doc_id").alias("item_id"),
+                "rank",
+            )
+        )
+        fused = rrf_fuse(a.unionByName(b), k=60)
+        return fused.select(
+            "item_id",
+            F.round("rrf_score", 9).alias("rrf_score"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+        )
+
+    q["rrf_fusion"] = rrf_fusion
+
+    def keywords_q(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        r = keywords_tf(docs, "text", "doc_id", max_keywords=5)
+        return r.select(
+            "doc_id", "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("krank").cast("long").alias("krank"),
+        )
+
+    q["keywords_tf"] = keywords_q
+
+    def temporal_q(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events")
+        edges = ev.select(
+            "event_id",
+            F.col("user_id").cast("string").alias("src"),
+            F.col("event_type").alias("dst"),
+            F.lit(None).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            "ts",
+        )
+        snap = snapshot_range(
+            edges,
+            F.lit("2024-01-10").cast("timestamp"),
+            F.lit("2024-01-15").cast("timestamp"),
+        )
+        return snap.select("event_id", "src", "dst", "ts")
+
+    q["temporal_snapshot"] = temporal_q
+
+    def semantic_edges_exact(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        r = semantic_similarity_edges(
+            emb, id_col="vec_id", threshold=0.5, max_connections=5, method="exact"
+        )
+        return r.select(
+            F.col("src").cast("long").alias("src"),
+            "pred",
+            F.col("dst").cast("long").alias("dst"),
+            F.round("similarity", 9).alias("similarity"),
+        )
+
+    q["semantic_edges_exact"] = semantic_edges_exact
+
+    def semantic_edges_lsh(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        r = semantic_similarity_edges(
+            emb, id_col="vec_id", threshold=0.5, max_connections=5,
+            method="lsh", n_planes=6, n_tables=6,
+        )
+        return r.select("src", "pred", "dst", F.round("similarity", 9).alias("similarity"))
+
+    q["semantic_edges_lsh"] = semantic_edges_lsh
+
+    def pagerank_q(spark, sf_dir):
+        ranks = pagerank(
+            _nation_chain_edges(spark, sf_dir), src="src", dst="dst", max_iter=30
+        )
+        return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_nation_chain"] = pagerank_q
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the pre-registered parquet views)
+# ---------------------------------------------------------------------------
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_STOPWORDS = (
+    "'the','and','is','of','to','in','a','that','it','with','as',"
+    "'for','was','on','are','by','be','this','at','from'"
+)
+_LANG_LISTS = {
+    "en": "'the','and','is','of','to','in','that','with'",
+    "de": "'der','die','und','ist','das','nicht','ein','mit'",
+    "fr": "'le','la','les','et','est','une','dans','pas'",
+    "es": "'el','los','es','una','que','por','como','para'",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["doc_assembly"] = """
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+               string_agg(event_type || ' ' || props, chr(10)
+                          ORDER BY ts, event_id) AS full_text,
+               CAST(COUNT(*) AS BIGINT) AS n_turns
+        FROM events GROUP BY user_id
     """
-    return {}
+
+    o["graph_connected_components"] = """
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+               MIN('n' || CAST(n_nationkey AS VARCHAR))
+                   OVER (PARTITION BY n_regionkey) AS component
+        FROM nation
+    """
+
+    o["graph_degrees"] = """
+        WITH c AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 lag('n' || CAST(n_nationkey AS VARCHAR))
+                     OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS prev
+          FROM nation
+        ), e AS (SELECT prev AS u, id AS v FROM c WHERE prev IS NOT NULL),
+        x AS (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM x GROUP BY id
+    """
+
+    o["dedup_exact"] = f"""
+        WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+        SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM n GROUP BY norm
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(0, greatest(len(t) - 3, 0)),
+                   i -> array_to_string(t[i+1:i+3], ' '))) AS g
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / greatest(len(list_distinct(a.g || b.g)), 1) AS jaccard
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.8
+    """
+
+    o["text_token_counts"] = rf"""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS BIGINT) AS n_pieces
+        FROM documents
+    """
+
+    o["text_quality"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+            length(text) AS n_chars,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len({_TOKS}) END AS n_tokens,
+            length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+            length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt,
+            len(list_filter({_TOKS},
+                x -> list_contains([{_STOPWORDS}], lower(x)))) AS stop_hits
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+            CAST(n_chars AS BIGINT) AS n_chars,
+            CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len,
+            CAST(punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+            CAST(upper_cnt AS DOUBLE) / greatest(n_chars, 1) AS upper_ratio,
+            CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio
+          FROM b
+        )
+        SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+               upper_ratio, stopword_ratio,
+               (CASE WHEN n_tokens < 5 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+             + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 12
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+               * CAST(0.25 AS DOUBLE)
+             + (CASE WHEN punct_ratio <= 0.1 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+             + (CASE WHEN stopword_ratio >= 0.1 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+               AS quality_score
+        FROM r
+    """
+
+    lang_hits = ",\n          ".join(
+        f"CAST(len(list_filter(lt, x -> list_contains([{words}], x))) AS BIGINT)"
+        f" AS hits_{lang}"
+        for lang, words in _LANG_LISTS.items()
+    )
+    o["text_language_id"] = f"""
+        WITH t AS (
+          SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+          {lang_hits}
+          FROM t
+        )
+        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+          CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+                    AND hits_en = greatest(hits_en, hits_de, hits_fr, hits_es)
+               THEN 'en'
+               WHEN greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+                    AND hits_de = greatest(hits_en, hits_de, hits_fr, hits_es)
+               THEN 'de'
+               WHEN greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+                    AND hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es)
+               THEN 'fr'
+               WHEN greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+                    AND hits_es = greatest(hits_en, hits_de, hits_fr, hits_es)
+               THEN 'es'
+               ELSE 'unknown' END AS lang_pred
+        FROM h
+    """
+
+    o["text_fingerprints"] = f"""
+        SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents
+    """
+
+    bm25_stop = ",".join(f"'{w}'" for w in BM25_STOPWORDS)
+    o["bm25_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+                   t -> length(t) > 2 AND NOT list_contains([{bm25_stop}], t)
+                 ) AS toks
+          FROM documents
+        ), dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        postings AS (
+          SELECT doc_id, dl, unnest(toks) AS term FROM dl
+        ), pf AS (
+          SELECT doc_id, dl, term, count(*) AS cnt FROM postings
+          WHERE term IN ('spark', 'table', 'scan', 'merge', 'window')
+          GROUP BY doc_id, dl, term
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM pf GROUP BY term
+        ), ts AS (
+          SELECT pf.doc_id,
+                 (ln(stats.n / dfreq.df) + 1.0::DOUBLE)
+                 * ((CAST(pf.cnt AS DOUBLE) / pf.dl) * (1.2::DOUBLE + 1.0::DOUBLE))
+                 / ((CAST(pf.cnt AS DOUBLE) / pf.dl)
+                    + 1.2::DOUBLE * (0.25::DOUBLE
+                                     + 0.75::DOUBLE * pf.dl / stats.avgdl)) AS s
+          FROM pf, stats JOIN dfreq ON pf.term = dfreq.term
+        )
+        SELECT doc_id, round(sum(s), 6) AS score FROM ts
+        GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10
+    """
+
+    o["rrf_fusion"] = """
+        WITH a AS (
+          SELECT doc_id AS item_id,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents QUALIFY rank <= 20
+        ), b AS (
+          SELECT doc_id AS item_id, row_number() OVER (ORDER BY doc_id) AS rank
+          FROM documents QUALIFY rank <= 20
+        ), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        SELECT item_id,
+               round(sum(1.0::DOUBLE / (60.0::DOUBLE + rank)), 9) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY item_id
+    """
+
+    kw_stop = ",".join(f"'{w}'" for w in KEYWORD_STOPWORDS)
+    o["keywords_tf"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> length(x) > 3
+                                  AND NOT list_contains([{kw_stop}], x)) AS t
+          FROM documents
+        ), counts AS (
+          SELECT doc_id, unnest(t) AS word FROM toks
+        ), c AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+          FROM counts GROUP BY doc_id, word
+        )
+        SELECT doc_id, word, cnt,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, word) AS BIGINT) AS krank
+        FROM c QUALIFY krank <= 5
+    """
+
+    o["temporal_snapshot"] = """
+        SELECT event_id, CAST(user_id AS VARCHAR) AS src, event_type AS dst, ts
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-15'
+    """
+
+    o["semantic_edges_exact"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON a.vec_id != b.vec_id
+        ), f AS (
+          SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, dst) AS rn
+          FROM s WHERE sim > 0.5
+        )
+        SELECT src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
+               round(sim, 9) AS similarity
+        FROM f WHERE rn <= 5
+    """
+
+    o["knn_bruteforce"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                            e.vec_id) AS rank
+          FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM s WHERE rank <= 10
+    """
+
+    return o

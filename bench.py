@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction build (the north-rule metric: triples
+extracted/sec over synthetic transcripts of the input_hint shape) plus
+every ``queries()`` operator at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "kg_triples_per_sec", "value": N, "unit": "triples/sec",
+     "queries": {"kg_build": sec, ...}, "sf": 0.1, ...}
+
+``--kg-only`` skips the per-operator sweep (used by scripts/scaling_bench.py
+to measure throughput at two parallelism levels on identical input).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_CONVS = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "0"))  # 0 → scale by sf
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark() -> SparkSession:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("graphrag-rs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.default.parallelism", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bench_kg(spark: SparkSession, sf: float) -> dict:
+    """Full build over synthetic transcripts; returns timings + counts."""
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.fixtures import transcripts_df
+    from graphrag_rs_spark.plans.pipeline import build_graph
+
+    n_convs = KG_CONVS or max(200, int(20_000 * sf))
+    t_gen = time.perf_counter()
+    transcripts = transcripts_df(
+        spark, n_convs, seed=42, distributed=True, partitions=CPUS * 4
+    ).cache()
+    n_turns = transcripts.count()  # materialize input OUTSIDE the timed window
+    gen_s = time.perf_counter() - t_gen
+
+    cfg = PipelineConfig(shuffle_partitions=CPUS)
+    t0 = time.perf_counter()
+    tables = build_graph(spark, transcripts, cfg)
+    n_triples_raw = tables["edges_raw"].count()
+    n_edges = tables["edges"].count()
+    n_nodes = tables["nodes"].count()
+    build_s = time.perf_counter() - t0
+    transcripts.unpersist()
+    return {
+        "n_convs": n_convs,
+        "n_turns": n_turns,
+        "gen_sec": round(gen_s, 3),
+        "kg_build_sec": round(build_s, 3),
+        "n_triples_raw": n_triples_raw,
+        "n_edges": n_edges,
+        "n_nodes": n_nodes,
+        "triples_per_sec": round(n_triples_raw / build_s, 1),
+        "turns_per_sec": round(n_turns / build_s, 1),
+    }
+
+
+def bench_queries(spark: SparkSession) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    out: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
+def main() -> None:
+    kg_only = "--kg-only" in sys.argv
+    sf = _sf_of(SF_DIR)
+    spark = build_spark()
+
+    kg = bench_kg(spark, sf)
+    queries: dict[str, float] = {"kg_build": kg["kg_build_sec"]}
+    if not kg_only:
+        queries.update(bench_queries(spark))
+
+    result = {
+        "metric": "kg_triples_per_sec",
+        "value": kg["triples_per_sec"],
+        "unit": "triples/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "kg": kg,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

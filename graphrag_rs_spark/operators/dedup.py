@@ -72,15 +72,17 @@ def minhash_signatures(
         (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
     ]
     shingles = _shingle_hashes(text_col, shingle)
+
+    def min_perm(a: int, b: int):
+        # Spark higher-order lambdas must take exactly (acc, x) — bind the
+        # permutation coefficients via closure, not default args
+        return lambda acc, x: F.least(
+            acc, F.pmod(F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
+        )
+
     sig = F.array(
         *[
-            F.aggregate(
-                shingles,
-                F.lit(p).cast("long"),
-                lambda acc, x, a=a, b=b: F.least(
-                    acc, F.pmod(F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
-                ),
-            )
+            F.aggregate(shingles, F.lit(p).cast("long"), min_perm(a, b))
             for a, b in coeffs
         ]
     )

@@ -47,16 +47,69 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr_edges.union(self_edges).where(F.col("u") != F.col("v")).distinct()
 
 
+def _local_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find for edge sets below the smallness threshold.
+
+    Same output contract as the distributed path (component = min string id).
+    The collect is BOUNDED by the caller's threshold check — this is the
+    small-side fast path, not the scale path.
+    """
+    spark = edges.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.select(src, dst).collect():
+        a, b = row[0], row[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-string root keeps the representative deterministic
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(rows, "id string, component string")
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    strategy: str = "auto",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Edge list → (id string, component string) where component is the
-    minimum xxhash-order member id of each connected component.
+    minimum string member id of each connected component.
 
-    Deterministic: component representative is chosen by hash order, then the
-    final output maps back to the MINIMUM STRING id per component so callers
-    see a stable, human-readable representative.
+    ``strategy='auto'`` counts the (deduped) edge list once and picks:
+    ``local`` (driver union-find, one collect bounded by
+    ``local_threshold``) for small edge sets — iterative large-star /
+    small-star costs ~2 shuffles × O(log² n) rounds of fixed job overhead,
+    which dwarfs tiny inputs — or ``distributed`` above the threshold.
+    Candidate-pair graphs (name-variant families) are sparse, so even
+    billion-entity runs usually produce modest edge sets per partition of
+    the blocking space; the threshold guards the driver regardless.
+
+    Deterministic: both paths map components to the MINIMUM STRING id so
+    callers see identical, stable representatives.
     """
+    if strategy == "auto":
+        e_dedup = edges.select(F.col(src), F.col(dst)).distinct()
+        if e_dedup.count() <= local_threshold:
+            return _local_cc(e_dedup, src, dst)
+        edges = e_dedup
+    elif strategy == "local":
+        return _local_cc(edges, src, dst)
     spark = edges.sparkSession
     ids = (
         edges.select(F.col(src).alias("id"))

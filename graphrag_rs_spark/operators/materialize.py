@@ -92,10 +92,18 @@ def materialize_graph(
     clusters: DataFrame,
     entities_raw: DataFrame,
     config: PipelineConfig | None = None,
+    cache_intermediate: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Returns (nodes, edges, node_stats)."""
+    """Returns (nodes, edges, node_stats).
+
+    ``cache_intermediate`` caches the deduped edge table before the
+    degree/community scans branch off it (use when not checkpointing —
+    otherwise each downstream action re-runs the re-point joins)."""
     config = config or PipelineConfig()
     nodes = nodes_table(clusters, entities_raw)
+    if cache_intermediate:
+        # nodes feeds the integrity-filter broadcast AND the output
+        nodes = nodes.cache()
     edges = repoint_edges(edges_raw, clusters)
 
     # referential integrity (core/mod.rs:291-306): drop edges with unknown
@@ -107,6 +115,8 @@ def materialize_graph(
     edges = edges.join(
         F.broadcast(node_ids), edges["obj"] == F.col("_nid"), "left_semi"
     )
+    if cache_intermediate:
+        edges = edges.cache()
 
     deg = degrees(edges, src="subj", dst="obj")
     comm = communities(edges, src="subj", dst="obj")

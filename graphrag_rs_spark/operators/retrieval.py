@@ -1,0 +1,340 @@
+"""Query-side retrieval operators: BM25, RRF fusion, PageRank, semantic
+similarity edges, temporal snapshots, keyword extraction.
+
+All reference parity targets are cited per function (paths into
+/root/reference). Hot paths are built-in ``pyspark.sql.functions``
+(JVM-side); the only driver-side values are global scalars (N, avgdl) and
+the PageRank convergence check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# graphrag-rs retrieval/bm25.rs:212-225 — the 100-word list used by the
+# BM25 tokenizer
+BM25_STOPWORDS = (
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "i", "it",
+    "for", "not", "on", "with", "he", "as", "you", "do", "at", "this", "but",
+    "his", "by", "from", "they", "we", "say", "her", "she", "or", "an",
+    "will", "my", "one", "all", "would", "there", "their", "what", "so",
+    "up", "out", "if", "about", "who", "get", "which", "go", "me", "when",
+    "make", "can", "like", "time", "no", "just", "him", "know", "take",
+    "people", "into", "year", "your", "good", "some", "could", "them",
+    "see", "other", "than", "then", "now", "look", "only", "come", "its",
+    "over", "think", "also", "back", "after", "use", "two", "how", "our",
+    "work", "first", "well", "way", "even", "new", "want", "because",
+    "any", "these", "give", "day", "most", "us",
+)
+
+# graphrag-rs text/mod.rs:484-498 — the 50-word list used by
+# extract_keywords (a strict prefix of the BM25 list)
+KEYWORD_STOPWORDS = BM25_STOPWORDS[:50]
+
+
+def bm25_tokens_col(text: Column) -> Column:
+    """The reference tokenizer (bm25.rs:198-209): lowercase → whitespace
+    split → strip non-alphanumeric chars per token → keep len > 2 and
+    non-stopword."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    cleaned = F.transform(toks, lambda t: F.regexp_replace(t, r"[^a-z0-9]", ""))
+    return F.filter(
+        cleaned, lambda t: (F.length(t) > 2) & ~t.isin(*BM25_STOPWORDS)
+    )
+
+
+def bm25_tokenize(text: str) -> list[str]:
+    """Python twin of :func:`bm25_tokens_col` for query strings."""
+    out = []
+    for tok in text.lower().split():
+        tok = "".join(c for c in tok if c.isalnum())
+        if len(tok) > 2 and tok not in BM25_STOPWORDS:
+            out.append(tok)
+    return out
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """BM25 top-``limit`` (bm25.rs:117-192 semantics, exactly):
+
+    * tf is NORMALIZED term frequency ``count/doc_len`` (bm25.rs:88-96)
+    * idf is Lucene-style ``ln(N/df) + 1`` (bm25.rs:171-181)
+    * term score = ``idf · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`` (bm25.rs:184-190)
+    * doc score = Σ over query terms; sort score desc (tie: id asc —
+      deterministic stand-in for the reference's unstable partial_cmp sort)
+
+    Distributed shape: one narrow tokenize pass; term stats via two
+    aggregations; the query-term filter happens BEFORE the shuffle so only
+    matching postings move. N and avgdl are two driver scalars (one tiny
+    ``agg`` job), not a collect of data rows.
+    """
+    toks = docs.select(
+        F.col(id_col), bm25_tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+
+    qterms = list(dict.fromkeys(bm25_tokenize(query)))
+    postings = (
+        toks.select(F.col(id_col), "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(qterms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("tf", F.col("cnt").cast("double") / F.col("dl"))
+    )
+    doc_freq = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("df")) + F.lit(1.0)
+    term_score = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        postings.join(F.broadcast(doc_freq), "term")
+        .withColumn("ts", term_score)
+        .groupBy(id_col)
+        .agg(F.sum("ts").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(limit)
+
+
+def rrf_fuse(ranked: DataFrame, k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion ``score = Σ 1/(k + rank)`` over rows
+    (list_id, item_id, rank) — retrieval/hybrid.rs formula
+    (HOW_IT_WORKS.md:870-886), k=60 default."""
+    return ranked.groupBy("item_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1.0e-6,
+    personalization: DataFrame | None = None,
+) -> DataFrame:
+    """(Personalized) PageRank by power iteration (graph/pagerank.rs:182-300
+    semantics: damping 0.85, tol 1e-6, uniform-or-seeded teleport, dangling
+    mass redistributed via the teleport vector).
+
+    Iterative DataFrame joins; each iteration localCheckpoints to cut the
+    lineage chain — the standard Spark shape for iterative graph algorithms.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    ).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "id string, rank double")
+
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+
+    if personalization is not None:
+        seeds = personalization.select(F.col("id"))
+        n_seeds = seeds.count()
+        teleport = nodes.join(seeds, "id", "left_semi").withColumn(
+            "tp", F.lit(1.0 / max(n_seeds, 1))
+        )
+        teleport = nodes.join(teleport.select("id", "tp"), "id", "left").select(
+            "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
+        )
+    else:
+        teleport = nodes.withColumn("tp", F.lit(1.0 / n))
+    teleport = teleport.localCheckpoint(eager=True)
+
+    ranks = teleport.select("id", F.col("tp").alias("rank"))
+    edges_d = e.join(out_deg, "u").localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        contribs = (
+            edges_d.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            .select(F.col("v").alias("id"), (F.col("rank") / F.col("outd")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) donate their rank through teleport
+        dangling = (
+            ranks.join(out_deg.select(F.col("u").alias("id")), "id", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        new_ranks = (
+            teleport.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("tp")
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling) * F.col("tp"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(ranks.select("id", F.col("rank").alias("prev")), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
+
+
+def semantic_similarity_edges(
+    nodes: DataFrame,
+    id_col: str = "cluster_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    max_connections: int = 10,
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTICALLY_SIMILAR edges (graph/mod.rs:235-292): per node, the top
+    ``max_connections`` neighbors with cosine > ``threshold`` (strict),
+    directed per source node exactly as the reference emits them.
+
+    ``method='exact'`` is the correctness baseline (all-pairs — the
+    reference's own loop); ``method='lsh'`` is the scale path: sign-bucket
+    candidate generation (OR-amplified over ``n_tables`` plane sets), exact
+    re-scoring inside buckets only.
+    """
+    from graphrag_rs_spark.functions import cosine_similarity_col
+
+    left = nodes.select(F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
+    right = nodes.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
+    if method == "exact":
+        pairs = left.crossJoin(right).where(F.col("src") != F.col("dst"))
+    elif method == "lsh":
+        import random
+
+        first = nodes.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+        rng = random.Random(seed)
+        from graphrag_rs_spark.operators.similarity_search import _bucket_expr
+
+        cand = None
+        for t in range(n_tables):
+            planes = [
+                [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+            ]
+            b = nodes.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.concat(F.lit(f"{t}:"), _bucket_expr(vec_col, planes)).alias("bucket"),
+            )
+            lt = b.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
+            rt = b.select("bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
+            got = lt.join(rt, "bucket").where(F.col("src") != F.col("dst")).select(
+                "src", "dst", "v1", "v2"
+            )
+            cand = got if cand is None else cand.unionByName(got)
+        pairs = cand.dropDuplicates(["src", "dst"])
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    sim = cosine_similarity_col(F.col("v1"), F.col("v2"))
+    scored = pairs.select("src", "dst", sim.alias("similarity")).where(
+        F.col("similarity") > threshold
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_connections)
+        .select(
+            "src",
+            F.lit("SEMANTICALLY_SIMILAR").alias("pred"),
+            "dst",
+            "similarity",
+        )
+    )
+
+
+def snapshot_at(
+    edges: DataFrame,
+    ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    point_ts: str = "ts",
+) -> DataFrame:
+    """Edges active at ``ts`` (graph/temporal.rs:42-49): interval edges when
+    both bounds present (inclusive), else point-in-time equality."""
+    interval = F.col(valid_from).isNotNull() & F.col(valid_to).isNotNull()
+    active = F.when(
+        interval,
+        (F.col(valid_from) <= F.lit(ts)) & (F.lit(ts) <= F.col(valid_to)),
+    ).otherwise(F.col(point_ts) == F.lit(ts))
+    return edges.where(active)
+
+
+def snapshot_range(
+    edges: DataFrame,
+    start,
+    end,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    point_ts: str = "ts",
+) -> DataFrame:
+    """Edges active in [start, end] (temporal.rs:52-60): interval overlap,
+    else point timestamp within range (inclusive)."""
+    interval = F.col(valid_from).isNotNull() & F.col(valid_to).isNotNull()
+    active = F.when(
+        interval,
+        (F.col(valid_from) <= F.lit(end)) & (F.col(valid_to) >= F.lit(start)),
+    ).otherwise((F.col(point_ts) >= F.lit(start)) & (F.col(point_ts) <= F.lit(end)))
+    return edges.where(active)
+
+
+def keywords_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_keywords: int = 10,
+) -> DataFrame:
+    """Per-document top-k keywords by term frequency (text/mod.rs:457-481):
+    lowercase whitespace words, len > 3, stopword-filtered (the 50-word
+    list), count desc. The reference's sort is unstable on ties
+    (sort_by on count only); ours tie-breaks lexicographically asc for
+    determinism."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: (F.length(t) > 3) & ~t.isin(*KEYWORD_STOPWORDS),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("krank", F.row_number().over(w))
+        .where(F.col("krank") <= max_keywords)
+        .select(id_col, "word", "cnt", "krank")
+    )

@@ -130,5 +130,6 @@ def fingerprints(
     return df.select(
         F.col(id_col),
         F.xxhash64(norm).alias("content_hash"),
+        F.md5(norm).alias("content_md5"),
         sig.alias("shingle_sig"),
     )

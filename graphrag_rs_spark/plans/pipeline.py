@@ -75,9 +75,18 @@ def build_graph(
     clusters = stage(
         "clusters", lambda: canonicalize_entities(entities_raw, config), ("entities_raw",)
     )
+    if ckpt is None:
+        # clusters feeds nodes, edges AND node_stats — without a checkpoint,
+        # cache it so the greedy-replay UDF chain runs once, not three times
+        clusters = clusters.cache()
 
     def _materialize():
-        return materialize_graph(edges_raw, clusters, entities_raw, config)
+        # without a checkpoint, cache edges inside: they feed degrees,
+        # communities AND the final output
+        return materialize_graph(
+            edges_raw, clusters, entities_raw, config,
+            cache_intermediate=(ckpt is None),
+        )
 
     if ckpt is None:
         nodes, edges, node_stats = _materialize()

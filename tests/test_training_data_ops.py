@@ -1,0 +1,301 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing — correctness on small hand-checkable inputs."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from graphrag_rs_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_table,
+)
+from graphrag_rs_spark.operators.similarity_search import (
+    brute_force_knn,
+    ivf_knn,
+    lsh_knn,
+)
+from graphrag_rs_spark.operators.text_analysis import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from graphrag_rs_spark.streaming.incremental import (
+    change_log,
+    merge_edges,
+    merge_nodes,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "The  quick brown fox jumps over the lazy dog again and again today"),  # ws/case dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again today"),  # near-dup of 1
+    (4, "completely different content about spark dataframes and shuffles here"),
+    (5, "der hund und die katze sind nicht mit der maus in das haus"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_collapses_normalized_copies(docs):
+    rows = exact_dedup(docs, "text", "doc_id").collect()
+    by_keeper = {r["keep_id"]: r["n_copies"] for r in rows}
+    assert by_keeper[1] == 2          # doc 2 is a whitespace/case copy of 1
+    assert by_keeper[3] == 1
+    assert sum(by_keeper.values()) == len(DOCS)
+
+
+def test_minhash_lsh_finds_exact_pair(docs):
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.9
+    ).collect()
+    found = {(r["id1"], r["id2"]): r["est_jaccard"] for r in pairs}
+    assert found.get((1, 2)) == 1.0   # identical shingle sets → all minhashes equal
+    assert (1, 4) not in found and (2, 4) not in found
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, num_hashes=128, bands=64
+    ).collect()
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+
+    # hand-computed 3-gram jaccard between docs 1 and 3 (one word differs)
+    def grams(text, n=3):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {
+            " ".join(toks[i:i + n]) for i in range(max(len(toks) - n, 0) + 1)
+        }
+    g1, g3 = grams(DOCS[0][1]), grams(DOCS[2][1])
+    expected = len(g1 & g3) / len(g1 | g3)
+    assert got[(1, 3)] == pytest.approx(expected, abs=1e-12)
+
+
+def test_simhash_identical_for_normalized_copies(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # near-dup docs differ in few bits
+    hamming = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    assert hamming <= 16
+
+
+def test_embedding_near_dup_identical_vectors(spark):
+    rows = [(1, [1.0, 0.0, 2.0, 0.5]), (2, [1.0, 0.0, 2.0, 0.5]),
+            (3, [-1.0, 2.0, 0.0, 0.0]), (4, [0.9999, 0.001, 2.0001, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id1"], r["id2"]): r["cosine"]
+             for r in embedding_near_dup(df, threshold=0.95).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+    assert (1, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(),
+        rows,
+    )
+
+
+def _numpy_topk(rows, qids, k=5):
+    mat = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    out = {}
+    for q in qids:
+        qv = mat[list(ids).index(q)]
+        cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(zip(-cos, ids))[:k]
+        out[q] = [int(i) for _, i in order]
+    return out
+
+
+def test_brute_force_knn_matches_numpy(vectors):
+    df, rows = vectors
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_knn(df, qs, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == _numpy_topk(rows, [0, 1, 2], k=5)
+
+
+def test_lsh_knn_self_hit_and_subset(vectors):
+    df, rows = vectors
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_knn(df, qs, k=5, n_planes=6, n_tables=6).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, hits in by_q.items():
+        assert hits[0] == q  # a vector's nearest neighbor is itself
+
+
+def test_ivf_knn_self_hit(vectors):
+    df, rows = vectors
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_knn(df, qs, k=5, n_centroids=8, n_probe=4).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, hits in by_q.items():
+        assert hits[0] == q
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_counts_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_chars"], r["n_tokens"], r["n_pieces"])
+           for r in token_counts(df).collect()}
+    # pieces: Hello , world ! 42 → 5
+    assert got[1] == (16, 3, 5)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (3, 0, 0)
+
+
+def test_quality_scores_bounds_and_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat on the mat with a hat for fun today"),
+         (2, "x!!!! y???? z;;;;")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert got[1]["quality_score"] == 1.0
+    assert got[2]["quality_score"] <= 0.5
+    assert got[1]["stopword_ratio"] > 0.4
+    assert 0 <= got[2]["punct_ratio"] <= 1
+
+
+def test_language_id_separates_en_de(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs, "text", "doc_id").collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_fingerprints_normalization_invariance(docs):
+    got = {r["doc_id"]: r for r in fingerprints(docs, "text", "doc_id").collect()}
+    assert got[1]["content_hash"] == got[2]["content_hash"]
+    assert got[1]["content_md5"] == got[2]["content_md5"]
+    assert got[1]["shingle_sig"] == got[2]["shingle_sig"]
+    assert got[1]["content_hash"] != got[4]["content_hash"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_deterministic(spark):
+    rows = [(i, bytes(range(10)) * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = media_table(df, "payload", "image", "media_id")
+    feats = extract_features(media, n_features=8).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # histogram normalized
+    again = extract_features(media, n_features=8).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"abc")], "media_id long, payload binary")
+    media = media_table(df, "payload", "image", "media_id")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode="real").collect()
+
+
+def test_frame_sample_counts(spark):
+    payload = bytes(5000)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    media = media_table(df, "payload", "video", "media_id")
+    frames = frame_sample(media, every_n_bytes=1024, frame_bytes=64).collect()
+    assert len(frames) == math.ceil(5000 / 1024)
+    assert all(len(f["frame"]) <= 64 for f in frames)
+    assert [f["offset"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == [
+        0, 1024, 2048, 3072, 4096
+    ]
+
+
+# ---------------------------------------------------------------------------
+# incremental merge (streaming stand-in)
+# ---------------------------------------------------------------------------
+
+def _nodes_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "cluster_id string, name string, entity_type string, confidence double,"
+        " mention_count long, member_count long, aliases array<string>",
+    )
+
+
+def test_merge_nodes_highest_confidence(spark):
+    old = _nodes_df(spark, [("c1", "Old Name", "PERSON", 0.9, 5, 1, ["Old Name"])])
+    new = _nodes_df(spark, [("c1", "New Name", "PERSON", 0.7, 2, 1, ["New Name"]),
+                            ("c2", "Fresh", "ORGANIZATION", 0.8, 1, 1, ["Fresh"])])
+    got = {r["cluster_id"]: r for r in merge_nodes(old, new, "highest_confidence").collect()}
+    assert got["c1"]["name"] == "Old Name"       # higher confidence wins
+    assert got["c2"]["name"] == "Fresh"
+
+
+def test_merge_nodes_latest_wins_and_merge(spark):
+    old = _nodes_df(spark, [("c1", "Old", "PERSON", 0.9, 5, 1, ["Old"])])
+    new = _nodes_df(spark, [("c1", "New", "PERSON", 0.7, 2, 1, ["New"])])
+    latest = {r["cluster_id"]: r for r in merge_nodes(old, new, "latest_wins").collect()}
+    assert latest["c1"]["name"] == "New"
+    merged = {r["cluster_id"]: r for r in merge_nodes(old, new, "merge").collect()}
+    assert merged["c1"]["confidence"] == 0.9
+    assert merged["c1"]["mention_count"] == 7
+    assert merged["c1"]["aliases"] == ["New", "Old"]
+
+
+def test_merge_edges_unions_contexts(spark):
+    schema = "subj string, pred string, obj string, confidence double, context array<string>"
+    old = spark.createDataFrame([("a", "KNOWS", "b", 0.5, ["c1"])], schema)
+    new = spark.createDataFrame([("a", "KNOWS", "b", 0.8, ["c2"]),
+                                 ("a", "KNOWS", "c", 0.5, ["c3"])], schema)
+    got = {(r["subj"], r["pred"], r["obj"]): r for r in merge_edges(old, new).collect()}
+    assert got[("a", "KNOWS", "b")]["confidence"] == 0.8
+    assert got[("a", "KNOWS", "b")]["context"] == ["c1", "c2"]
+
+
+def test_change_log(spark):
+    old = spark.createDataFrame([("a",), ("b",)], "id string")
+    new = spark.createDataFrame([("b",), ("c",)], "id string")
+    got = {(r["op"], r["id"]) for r in change_log(old, new, ["id"]).collect()}
+    assert got == {("added", "c"), ("removed", "a")}
