@@ -65,3 +65,52 @@ def chunk_documents(documents: DataFrame, config: PipelineConfig | None = None) 
     return documents.select("conv_id", "doc_id", "full_text").mapInPandas(
         chunk_batches, schema=CHUNKS_SCHEMA
     )
+
+
+SEMANTIC_CHUNKS_SCHEMA = (
+    "conv_id string, doc_id string, chunk_idx int, chunk_id string, "
+    "text string, start_sentence int, end_sentence int, sentence_count int"
+)
+
+
+def semantic_chunk_documents(
+    documents: DataFrame, cfg=None
+) -> DataFrame:
+    """Semantic chunker (graphrag-rs text/semantic_chunking.rs): sentence
+    split → hash embeddings → cosine-distance breakpoints, via the exact
+    port in rules/semantic_chunking.py. Same narrow ``mapInPandas`` shape
+    as the size-based chunkers; offsets are sentence indexes (the
+    reference's SemanticChunk contract) rather than char offsets."""
+    from graphrag_rs_spark.rules.semantic_chunking import SemanticChunkerConfig
+
+    cfg = cfg or SemanticChunkerConfig()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from graphrag_rs_spark.rules.semantic_chunking import semantic_chunk
+
+        for pdf in batches:
+            rows = []
+            for conv_id, doc_id, full_text in zip(
+                pdf["conv_id"], pdf["doc_id"], pdf["full_text"]
+            ):
+                for idx, ch in enumerate(semantic_chunk(full_text or "", cfg)):
+                    rows.append(
+                        (
+                            conv_id, doc_id, idx, f"{doc_id}_s{idx}",
+                            ch["content"], ch["start_sentence"],
+                            ch["end_sentence"], ch["sentence_count"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "doc_id", "chunk_idx", "chunk_id", "text",
+                    "start_sentence", "end_sentence", "sentence_count",
+                ],
+            )
+
+    return documents.select("conv_id", "doc_id", "full_text").mapInPandas(
+        run, schema=SEMANTIC_CHUNKS_SCHEMA
+    )

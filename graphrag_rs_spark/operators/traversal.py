@@ -1,0 +1,119 @@
+"""Graph traversal as iterative DataFrame joins
+(graphrag-rs graph/traversal.rs semantics, distributed).
+
+* ``bfs_distances`` — (multi-source) BFS layer expansion: distances from
+  any seed, depth-bounded (traversal.rs:85-141 single source;
+  traversal.rs:322-386 multi-source — same frontier algorithm with a
+  seeded frontier of several roots).
+* ``ego_network`` — the k-hop neighborhood node set with hop distance and
+  the induced edge set (traversal.rs:248-320).
+* ``k_hop_neighbors`` — neighbors at exactly/at-most k hops, the
+  ``Neighbors{max_hops}`` query operator (query/optimizer.rs:40-47).
+
+Edges with confidence below ``min_strength`` are dropped before traversal
+(TraversalConfig.min_relationship_strength gate, traversal.rs:121-124).
+Each frontier iteration is one join + anti-join; frontiers are
+localCheckpointed to cut lineage — the standard Spark shape for iterative
+graph expansion. Depth is bounded by ``max_depth`` so the loop count is a
+config constant, not data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym_edges(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    confidence: str | None,
+    min_strength: float,
+) -> DataFrame:
+    e = edges
+    if confidence is not None and confidence in edges.columns:
+        e = e.where(F.col(confidence) >= min_strength)
+    e = e.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[str],
+    max_depth: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+    confidence: str | None = "confidence",
+    min_strength: float = 0.0,
+) -> DataFrame:
+    """(id, distance) for every node within ``max_depth`` hops of any
+    source (distance = hops from the nearest source; sources at 0)."""
+    spark = edges.sparkSession
+    sym = _sym_edges(edges, src, dst, confidence, min_strength).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame([(s,) for s in sources], "id string").distinct()
+    visited = seeds.withColumn("distance", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("distance", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    sources: list[str],
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    exact: bool = False,
+) -> DataFrame:
+    """Nodes reachable within (or, with ``exact=True``, at exactly) ``k``
+    hops of the sources, excluding the sources themselves —
+    ``QueryOp::Neighbors{max_hops}`` (query/optimizer.rs:40-47)."""
+    d = bfs_distances(
+        edges, sources, max_depth=k, src=src, dst=dst, confidence=None
+    )
+    cond = (F.col("distance") == k) if exact else (F.col("distance") > 0)
+    return d.where(cond)
+
+
+def ego_network(
+    edges: DataFrame,
+    ego: str,
+    k_hops: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+    confidence: str | None = "confidence",
+    min_strength: float = 0.0,
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, induced_edges) of the k-hop ego neighborhood
+    (traversal.rs:248-320): nodes carry hop distance; the edge set is the
+    original edge rows whose BOTH endpoints fall inside the neighborhood."""
+    nodes = bfs_distances(
+        edges, [ego], max_depth=k_hops, src=src, dst=dst,
+        confidence=confidence, min_strength=min_strength,
+    )
+    member = nodes.select("id")
+    induced = (
+        edges.join(member.withColumnRenamed("id", src), src, "left_semi")
+        .join(member.withColumnRenamed("id", dst), dst, "left_semi")
+    )
+    return nodes, induced
