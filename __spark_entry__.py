@@ -57,7 +57,25 @@ from graphrag_rs_spark.operators.retrieval import (
     semantic_similarity_edges,
     snapshot_range,
 )
+from graphrag_rs_spark.operators.analytics import (
+    avg_clustering_coefficient,
+    density,
+    detect_communities,
+    label_propagation,
+    local_clustering,
+    top_degree_nodes,
+)
+from graphrag_rs_spark.operators.concepts import (
+    concept_cooccurrence,
+    concept_phrases,
+)
+from graphrag_rs_spark.operators.cross_doc import exact_match_linking
+from graphrag_rs_spark.operators.ner import extract_with_rules
+from graphrag_rs_spark.operators.retrieval import tfidf_keywords
+from graphrag_rs_spark.operators.summarize import build_summary_tree
+from graphrag_rs_spark.operators.traversal import k_hop_neighbors
 from graphrag_rs_spark.plans.pipeline import build_graph
+from graphrag_rs_spark.rules.ner import ExtractionRule
 
 # ---------------------------------------------------------------------------
 # input helpers
@@ -114,6 +132,53 @@ def _nation_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").alias("src"), F.col("id").alias("dst")
     )
 
+
+def _nation_band_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band graph per region over nation (rank distance ≤ 2 within each
+    region) — a deterministic triangle-bearing edge list whose clustering /
+    community / degree metrics have closed-form SQL oracles."""
+    n = _read(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    nn = n.select(
+        F.col("n_regionkey").alias("g"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.row_number().over(w).alias("rk"),
+    )
+    a = nn.select("g", F.col("id").alias("src"), F.col("rk").alias("rka"))
+    b = nn.select("g", F.col("id").alias("dst"), F.col("rk").alias("rkb"))
+    return (
+        a.join(b, "g")
+        .where((F.col("rkb") - F.col("rka")).between(1, 2))
+        .select("src", "dst")
+    )
+
+
+# single DuckDB CTE prefix shared by the band-graph oracles
+_BAND_SQL = """
+        nn AS (
+          SELECT n_regionkey AS g,
+                 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS rk
+          FROM nation
+        ), raw_e AS (
+          SELECT a.id AS u, b.id AS v
+          FROM nn a JOIN nn b ON a.g = b.g AND b.rk - a.rk BETWEEN 1 AND 2
+        ), e AS (
+          SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM raw_e
+        ), sym AS (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), deg AS (
+          SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u
+        )
+"""
+
+# fixed NER demo rule set used by the custom_ner query (rows-only)
+_NER_RULES = [
+    ExtractionRule("num", "NUMBER", "regex", r"\b[0-9]{3,}\b", priority=9),
+    ExtractionRule("spark", "TOPIC", "exact_match", "spark", priority=5),
+    ExtractionRule("ing", "GERUND", "suffix", "ing", priority=1),
+]
 
 _KG_CONFIG = PipelineConfig()
 
@@ -431,6 +496,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_nation_chain"] = pagerank_q
 
+    # ---- concept graph (lightrag/concept_graph.rs) ----
+    # driver documents are all-lowercase; apply the same deterministic
+    # word-capitalization on both engines so the capitalized-phrase regexes
+    # have real input
+    def _cap_docs(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        cap = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(
+                    F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1_000_000)
+                ),
+            ),
+            " ",
+        )
+        return docs.select("doc_id", cap.alias("text"))
+
+    def concepts_q(spark, sf_dir):
+        docs = _cap_docs(spark, sf_dir)
+        return concept_phrases(docs, text_col="text", id_col="doc_id").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "concept"
+        )
+
+    q["concept_phrases"] = concepts_q
+
+    def concept_cooc_q(spark, sf_dir):
+        docs = _cap_docs(spark, sf_dir)
+        phrases = concept_phrases(docs, text_col="text", id_col="doc_id")
+        return concept_cooccurrence(phrases, id_col="doc_id").select(
+            "source", "target",
+            F.col("count").cast("long").alias("count"),
+            F.round("confidence", 9).alias("confidence"),
+        )
+
+    q["concept_cooccurrence"] = concept_cooc_q
+
+    # ---- TF-IDF keywords (text/keyword_extraction.rs) ----
+    def tfidf_q(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return tfidf_keywords(docs, top_k=5).select(
+            "doc_id", "term",
+            F.round("score", 9).alias("score"),
+            F.col("krank").cast("long").alias("krank"),
+        )
+
+    q["tfidf_keywords"] = tfidf_q
+
+    # ---- graph analytics on the nation band graph (oracle-checked) ----
+    def clustering_q(spark, sf_dir):
+        lc = local_clustering(_nation_band_edges(spark, sf_dir))
+        return lc.select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.round("coefficient", 9).alias("coefficient"),
+        )
+
+    q["clustering_coefficient"] = clustering_q
+
+    def top_degree_q(spark, sf_dir):
+        top = top_degree_nodes(_nation_band_edges(spark, sf_dir), top_k=10)
+        return top.select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.round("centrality", 9).alias("centrality"),
+        )
+
+    q["top_degree_nodes"] = top_degree_q
+
+    def graph_stats_q(spark, sf_dir):
+        e = _nation_band_edges(spark, sf_dir)
+        d = density(e)
+        acc = avg_clustering_coefficient(e)
+        return spark.createDataFrame(
+            [(round(d, 9), round(acc, 9))],
+            "density double, avg_clustering double",
+        )
+
+    q["graph_stats"] = graph_stats_q
+
+    def communities_q(spark, sf_dir):
+        out = detect_communities(_nation_band_edges(spark, sf_dir))
+        return out.select(
+            "id", "community_id",
+            F.col("community_size").cast("long").alias("community_size"),
+            F.round("modularity", 9).alias("modularity"),
+        )
+
+    q["communities_modularity"] = communities_q
+
+    def lpa_q(spark, sf_dir):
+        return label_propagation(_nation_band_edges(spark, sf_dir))
+
+    q["label_propagation"] = lpa_q
+
+    # ---- traversal (graph/traversal.rs) ----
+    def khop_q(spark, sf_dir):
+        hops = k_hop_neighbors(
+            _nation_chain_edges(spark, sf_dir), ["n0"], k=2,
+            src="src", dst="dst",
+        )
+        return hops.select(
+            "id", F.col("distance").cast("long").alias("distance")
+        )
+
+    q["k_hop_neighbors"] = khop_q
+
+    # ---- cross-document linking (corpus/entity_linker.rs) ----
+    def cross_doc_q(spark, sf_dir):
+        p = _read(spark, sf_dir, "part")
+        ents = p.select(
+            F.col("p_type").alias("doc_id"),
+            F.col("p_partkey").cast("string").alias("entity_id"),
+            F.col("p_brand").alias("name"),
+        )
+        return exact_match_linking(ents).select(
+            "canonical_name", "entity_type",
+            F.col("member_count").cast("long").alias("member_count"),
+            F.col("document_frequency").cast("long").alias("document_frequency"),
+        )
+
+    q["cross_doc_exact"] = cross_doc_q
+
+    # ---- custom NER over documents (rows-only; pytest pins rule parity) ----
+    def ner_q(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("chunk_id"), "text"
+        )
+        return extract_with_rules(docs, _NER_RULES)
+
+    q["custom_ner"] = ner_q
+
+    # ---- hierarchical summarization (rows-only; pytest pins extractive
+    # scorer) — documents grouped into 64 pseudo-corpora so trees have
+    # real depth ----
+    def summary_q(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents").select(
+            F.concat(F.lit("g"), (F.col("doc_id") % 64).cast("string")).alias(
+                "doc_id"
+            ),
+            F.col("doc_id").cast("int").alias("chunk_idx"),
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            "text",
+        )
+        tree = build_summary_tree(docs, merge_size=5)
+        return tree.select(
+            "doc_id", "level", "node_idx", "node_id", "summary",
+        )
+
+    q["summary_tree"] = summary_q
+
+    # ---- semantic chunking + hash embeddings (rows-only; deterministic) --
+    def semantic_chunks_q(spark, sf_dir):
+        docs = assemble_documents(_fixture_transcripts(spark, sf_dir))
+        from graphrag_rs_spark.operators.chunking import semantic_chunk_documents
+
+        return semantic_chunk_documents(docs)
+
+    q["semantic_chunks"] = semantic_chunks_q
+
+    def hash_embed_q(spark, sf_dir):
+        from graphrag_rs_spark.functions.embeddings import add_embeddings
+
+        docs = _read(spark, sf_dir, "documents").limit(200)
+        out = add_embeddings(docs, text_col="text", dim=32)
+        return out.select(
+            "doc_id",
+            F.size("embedding").alias("dim"),
+            F.round(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ),
+                6,
+            ).alias("sq_norm"),
+        )
+
+    q["hash_embeddings"] = hash_embed_q
+
     return q
 
 
@@ -675,6 +920,213 @@ def oracle_sql() -> dict[str, str]:
         SELECT src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
                round(sim, 9) AS similarity
         FROM f WHERE rn <= 5
+    """
+
+    # --- concept graph ---
+    _CAP = r"'\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+\b'"
+    _NOUN = r"'\b[A-Z][a-z]+(?:\s+[A-Z]?[a-z]+){1,4}\b'"
+    _CSTOP = ",".join(f"'{w}'" for w in sorted(__import__(
+        "graphrag_rs_spark.rules.concepts", fromlist=["CONCEPT_STOPWORDS"]
+    ).CONCEPT_STOPWORDS))
+    _VALID = (
+        "length(c) >= 3 AND len(string_split_regex(c, '\\s+')) <= 5 "
+        "AND len(list_filter(string_split_regex(c, '\\s+'), "
+        f"w -> list_contains([{_CSTOP}], lower(w)))) "
+        "<= len(string_split_regex(c, '\\s+')) // 2"
+    )
+    _CAPDOC = (
+        "cap AS (SELECT doc_id, array_to_string(list_transform("
+        "string_split(text, ' '), w -> upper(w[1]) || w[2:]), ' ') AS text "
+        "FROM documents)"
+    )
+    o["concept_phrases"] = f"""
+        WITH {_CAPDOC}, p AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_distinct(list_concat(
+                     regexp_extract_all(text, {_CAP}),
+                     regexp_extract_all(text, {_NOUN}))),
+                   c -> {_VALID}) AS cs
+          FROM cap
+        )
+        SELECT DISTINCT doc_id, unnest(cs) AS concept FROM p
+    """
+
+    o["concept_cooccurrence"] = f"""
+        WITH {_CAPDOC}, p AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_distinct(list_concat(
+                     regexp_extract_all(text, {_CAP}),
+                     regexp_extract_all(text, {_NOUN}))),
+                   c -> {_VALID}) AS cs
+          FROM cap
+        ), g AS (
+          SELECT DISTINCT doc_id, unnest(cs) AS concept FROM p
+        ), per AS (
+          SELECT concept, COUNT(*) AS n_chunks FROM g GROUP BY concept
+        ), pairs AS (
+          SELECT a.concept AS source, b.concept AS target,
+                 CAST(COUNT(*) AS BIGINT) AS count
+          FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.concept < b.concept
+          GROUP BY a.concept, b.concept
+        )
+        SELECT source, target, count,
+               round(CAST(count AS DOUBLE)
+                     / (pa.n_chunks + pb.n_chunks - count), 9) AS confidence
+        FROM pairs
+        JOIN per pa ON pairs.source = pa.concept
+        JOIN per pb ON pairs.target = pb.concept
+    """
+
+    # --- TF-IDF keywords ---
+    tfidf_stop = ",".join(
+        f"'{w}'" for w in __import__(
+            "graphrag_rs_spark.operators.retrieval", fromlist=["TFIDF_STOPWORDS"]
+        ).TFIDF_STOPWORDS
+    )
+    o["tfidf_keywords"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split_regex(trim(text), '\\s+'),
+                     t -> lower(regexp_replace(t, '[^a-zA-Z0-9\\-_]', '', 'g'))),
+                   t -> length(t) > 2
+                        AND NOT list_contains([{tfidf_stop}], t)
+                        AND NOT regexp_matches(t, '^[0-9]+$')) AS t
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, t, greatest(len(t), 1) AS dl FROM toks
+        ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),
+        counts AS (
+          SELECT doc_id, dl, unnest(t) AS term FROM dl
+        ), c AS (
+          SELECT doc_id, dl, term, COUNT(*) AS cnt
+          FROM counts GROUP BY doc_id, dl, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM c GROUP BY term
+        ), scored AS (
+          SELECT c.doc_id, c.term,
+                 (CAST(c.cnt AS DOUBLE) / c.dl)
+                 * greatest(ln(n.n_docs / dfq.df), 0.0) AS score
+          FROM c JOIN dfq ON c.term = dfq.term, n
+        )
+        SELECT doc_id, term, round(score, 9) AS score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS BIGINT) AS krank
+        FROM scored QUALIFY krank <= 5
+    """
+
+    # --- band-graph analytics ---
+    o["clustering_coefficient"] = f"""
+        WITH {_BAND_SQL},
+        wed AS (
+          SELECT s1.u AS c, s1.v AS a, s2.v AS b
+          FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        ), tri AS (
+          SELECT c, COUNT(*) AS triangles
+          FROM wed JOIN e ON wed.a = e.u AND wed.b = e.v GROUP BY c
+        )
+        SELECT deg.id, CAST(deg.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+               round(2.0 * COALESCE(tri.triangles, 0)
+                     / (deg.degree * (deg.degree - 1.0)), 9) AS coefficient
+        FROM deg LEFT JOIN tri ON deg.id = tri.c
+        WHERE deg.degree >= 2
+    """
+
+    o["top_degree_nodes"] = f"""
+        WITH {_BAND_SQL},
+        n AS (SELECT COUNT(*) AS n_nodes FROM deg)
+        SELECT id, CAST(degree AS BIGINT) AS degree,
+               round(CAST(degree AS DOUBLE)
+                     / greatest(n.n_nodes - 1, 1), 9) AS centrality
+        FROM deg, n
+        ORDER BY degree DESC, id ASC LIMIT 10
+    """
+
+    o["graph_stats"] = f"""
+        WITH {_BAND_SQL},
+        wed AS (
+          SELECT s1.u AS c, s1.v AS a, s2.v AS b
+          FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        ), tri AS (
+          SELECT c, COUNT(*) AS triangles
+          FROM wed JOIN e ON wed.a = e.u AND wed.b = e.v GROUP BY c
+        ), coef AS (
+          SELECT 2.0 * COALESCE(tri.triangles, 0)
+                 / (deg.degree * (deg.degree - 1.0)) AS coefficient
+          FROM deg LEFT JOIN tri ON deg.id = tri.c
+          WHERE deg.degree >= 2
+        ), nn_cnt AS (SELECT COUNT(*) AS n FROM deg),
+        m_cnt AS (SELECT COUNT(*) AS m FROM e)
+        SELECT round(2.0 * m_cnt.m / (nn_cnt.n * (nn_cnt.n - 1.0)), 9)
+                 AS density,
+               round((SELECT AVG(coefficient) FROM coef), 9)
+                 AS avg_clustering
+        FROM nn_cnt, m_cnt
+    """
+
+    o["communities_modularity"] = f"""
+        WITH {_BAND_SQL},
+        comp AS (
+          SELECT nn.id, nn.g,
+                 MIN(nn.id) OVER (PARTITION BY nn.g) AS community_id
+          FROM nn
+        ), sizes AS (
+          SELECT community_id, CAST(COUNT(*) AS BIGINT) AS community_size
+          FROM comp GROUP BY community_id
+        ), n_tot AS (SELECT COUNT(*) AS n FROM comp),
+        internal AS (
+          SELECT c1.community_id, COUNT(*) AS internal_directed
+          FROM sym
+          JOIN comp c1 ON sym.u = c1.id
+          JOIN comp c2 ON sym.v = c2.id
+          WHERE c1.community_id = c2.community_id
+          GROUP BY c1.community_id
+        )
+        SELECT comp.id, comp.community_id, sizes.community_size,
+               round(CAST(COALESCE(internal.internal_directed, 0) AS DOUBLE)
+                     / (2.0 * n_tot.n), 9) AS modularity
+        FROM comp
+        JOIN sizes ON comp.community_id = sizes.community_id
+        LEFT JOIN internal ON comp.community_id = internal.community_id,
+        n_tot
+    """
+
+    # --- traversal: 2-hop BFS from n0 on the per-region chain ---
+    o["k_hop_neighbors"] = """
+        WITH c AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 lag('n' || CAST(n_nationkey AS VARCHAR))
+                     OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS prev
+          FROM nation
+        ), e AS (SELECT prev AS u, id AS v FROM c WHERE prev IS NOT NULL),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        h1 AS (SELECT DISTINCT v AS id FROM sym WHERE u = 'n0'),
+        h2 AS (
+          SELECT DISTINCT s.v AS id FROM sym s JOIN h1 ON s.u = h1.id
+          WHERE s.v != 'n0' AND s.v NOT IN (SELECT id FROM h1)
+        )
+        SELECT id, CAST(1 AS BIGINT) AS distance FROM h1
+        UNION ALL
+        SELECT id, CAST(2 AS BIGINT) AS distance FROM h2
+    """
+
+    # --- cross-document exact linking over part brands ---
+    o["cross_doc_exact"] = """
+        SELECT p_brand AS canonical_name,
+               CASE WHEN lower(p_brand) LIKE '%company%'
+                         OR lower(p_brand) LIKE '%corp%'
+                         OR lower(p_brand) LIKE '%inc%' THEN 'organization'
+                    WHEN regexp_matches(substring(p_brand, 1, 1), '[A-Z]')
+                         AND p_brand NOT LIKE '% %' THEN 'person'
+                    WHEN lower(p_brand) LIKE '%city%'
+                         OR lower(p_brand) LIKE '%country%' THEN 'location'
+                    ELSE 'other' END AS entity_type,
+               CAST(COUNT(*) AS BIGINT) AS member_count,
+               CAST(COUNT(DISTINCT p_type) AS BIGINT) AS document_frequency
+        FROM part GROUP BY p_brand
     """
 
     o["knn_bruteforce"] = """

@@ -30,6 +30,16 @@ def cosine_similarity_col(v1: Column, v2: Column) -> Column:
     return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
 
 
+def unit_normalize_col(vec: Column) -> Column:
+    """L2-normalize an array column JVM-side (zero vectors pass through).
+    Pre-normalizing once per row turns every downstream cosine into a
+    single dot product — the cheap form for O(n²)/bucketed similarity."""
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(
+        norm > 0, F.transform(vec, lambda x: x / norm)
+    ).otherwise(F.transform(vec, lambda x: x * F.lit(0.0)))
+
+
 def salted_join_small_side(small: DataFrame, key: str, buckets: int) -> DataFrame:
     """Replicate the small side of a skewed join over ``buckets`` salt values.
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 
 
 def word_vector(word: str, dim: int) -> np.ndarray:
@@ -70,7 +71,6 @@ def add_embeddings(df, text_col: str = "text", dim: int = 64,
     """Append an ``array<float>`` hash-embedding column via a vectorized
     pandas UDF (Arrow-batched; the shared word cache amortizes hashing
     across each batch)."""
-    import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("array<float>")

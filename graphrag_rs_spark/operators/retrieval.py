@@ -32,6 +32,12 @@ BM25_STOPWORDS = (
 # extract_keywords (a strict prefix of the BM25 list)
 KEYWORD_STOPWORDS = BM25_STOPWORDS[:50]
 
+# graphrag-rs text/keyword_extraction.rs:124-141 — the BM25 list plus verb
+# forms, used by the TF-IDF extractor
+TFIDF_STOPWORDS = BM25_STOPWORDS + (
+    "is", "was", "are", "been", "has", "had", "were", "said", "did",
+)
+
 
 def bm25_tokens_col(text: Column) -> Column:
     """The reference tokenizer (bm25.rs:198-209): lowercase → whitespace
@@ -226,12 +232,26 @@ def semantic_similarity_edges(
     candidate generation (OR-amplified over ``n_tables`` plane sets), exact
     re-scoring inside buckets only.
     """
-    from graphrag_rs_spark.functions import cosine_similarity_col
+    from graphrag_rs_spark.functions import unit_normalize_col
 
-    left = nodes.select(F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
-    right = nodes.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
+    # Pre-normalize ONCE per row so every pair costs a single dot product
+    # (one zip_with/aggregate) instead of dot + two norms — 3× less
+    # per-pair work in the O(n²)/bucketed hot loop.
+    normed = nodes.select(
+        F.col(id_col), unit_normalize_col(F.col(vec_col)).alias(vec_col)
+    )
+    left = normed.select(F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
+    right = normed.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
     if method == "exact":
-        pairs = left.crossJoin(right).where(F.col("src") != F.col("dst"))
+        # spread the nested-loop join: a small parquet input arrives as ONE
+        # partition, which would serialize the whole O(n²) scoring loop on
+        # a single task
+        n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pairs = (
+            left.repartition(n_part)
+            .crossJoin(F.broadcast(right))
+            .where(F.col("src") != F.col("dst"))
+        )
     elif method == "lsh":
         import random
 
@@ -245,7 +265,7 @@ def semantic_similarity_edges(
             planes = [
                 [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
             ]
-            b = nodes.select(
+            b = normed.select(
                 F.col(id_col),
                 F.col(vec_col),
                 F.concat(F.lit(f"{t}:"), _bucket_expr(vec_col, planes)).alias("bucket"),
@@ -260,7 +280,12 @@ def semantic_similarity_edges(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    sim = cosine_similarity_col(F.col("v1"), F.col("v2"))
+    # inputs are unit vectors: cosine = plain dot product
+    sim = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = pairs.select("src", "dst", sim.alias("similarity")).where(
         F.col("similarity") > threshold
     )
@@ -337,4 +362,66 @@ def keywords_tf(
         counts.withColumn("krank", F.row_number().over(w))
         .where(F.col("krank") <= max_keywords)
         .select(id_col, "word", "cnt", "krank")
+    )
+
+
+def tfidf_tokens_col(text: Column) -> Column:
+    """The TF-IDF tokenizer (text/keyword_extraction.rs:68-85): keep
+    alphanumerics plus ``-``/``_`` within each whitespace word, lowercase;
+    drop empties, len <= 2, stopwords, pure numbers. Pure JVM expressions."""
+    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    cleaned = F.transform(
+        toks, lambda t: F.lower(F.regexp_replace(t, r"[^a-zA-Z0-9\-_]", ""))
+    )
+    return F.filter(
+        cleaned,
+        lambda t: (F.length(t) > 2)
+        & ~t.isin(*TFIDF_STOPWORDS)
+        & ~t.rlike(r"^[0-9]+$"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords
+    (text/keyword_extraction.rs:37-120): tf = count/doc_len, corpus idf =
+    max(ln(N/df), 0), score = tf·idf; tie-break (score desc, term asc) —
+    the reference's partial_cmp sort is tie-unstable.
+
+    Distributed shape: one narrow tokenize pass; term counts and document
+    frequencies are two aggregations on the same exploded postings (the
+    second reuses the first's shuffle output); N is one driver scalar.
+    """
+    toks = df.select(
+        F.col(id_col), tfidf_tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.greatest(F.size("toks"), F.lit(1)))
+    n_docs = toks.count()
+
+    counts = (
+        toks.select(F.col(id_col), "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc_freq = counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = counts.join(doc_freq, "term").select(
+        F.col(id_col),
+        "term",
+        (
+            (F.col("cnt").cast("double") / F.col("dl"))
+            * F.greatest(
+                F.log(F.lit(float(n_docs)) / F.col("df")), F.lit(0.0)
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("krank", F.row_number().over(w))
+        .where(F.col("krank") <= top_k)
+        .select(id_col, "term", "score", "krank")
     )

@@ -44,7 +44,7 @@ def _sym_edges(
 
 def bfs_distances(
     edges: DataFrame,
-    sources: list[str],
+    sources: "list[str] | DataFrame",
     max_depth: int = 3,
     src: str = "subj",
     dst: str = "obj",
@@ -52,12 +52,20 @@ def bfs_distances(
     min_strength: float = 0.0,
 ) -> DataFrame:
     """(id, distance) for every node within ``max_depth`` hops of any
-    source (distance = hops from the nearest source; sources at 0)."""
+    source (distance = hops from the nearest source; sources at 0).
+
+    ``sources`` may be a Python list (small seed sets) or a single-column
+    ``id`` DataFrame (seed sets too large to pass through the driver)."""
     spark = edges.sparkSession
     sym = _sym_edges(edges, src, dst, confidence, min_strength).localCheckpoint(
         eager=True
     )
-    seeds = spark.createDataFrame([(s,) for s in sources], "id string").distinct()
+    if isinstance(sources, DataFrame):
+        seeds = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    else:
+        seeds = spark.createDataFrame(
+            [(s,) for s in sources], "id string"
+        ).distinct()
     visited = seeds.withColumn("distance", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited
 
