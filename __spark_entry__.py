@@ -83,7 +83,15 @@ from graphrag_rs_spark.rules.ner import ExtractionRule
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a driver table. The sf parquet files are single small files, so
+    Spark scans them as ONE partition — which would serialize every heavy
+    narrow stage (regex extraction, pandas UDFs, higher-order array math)
+    on a single task. At real scale the input arrives in thousands of
+    splits; the repartition simulates that and costs one tiny shuffle."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in ("documents", "embeddings", "lineitem", "orders", "events"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -44,6 +44,19 @@ class PipelineConfig:
     # salting fan-out for hub-entity edge re-pointing joins
     salt_buckets: int = 16
 
+    # --- embeddings stage (vector/mod.rs:559-685 hash embeddings;
+    # retrieval/mod.rs:425-458: chunks embed content, entities embed
+    # "{name} {type}") ---
+    embed_chunks: bool = False
+    embedding_dim: int = 64
+
+    # --- semantic-similarity edges (graph/mod.rs:235-292; defaults
+    # config/mod.rs:844-849: threshold 0.8, max_connections 10) ---
+    semantic_edges: bool = False
+    semantic_edge_threshold: float = 0.8
+    semantic_edge_max_connections: int = 10
+    semantic_edge_method: str = "lsh"  # "exact" for small graphs
+
     # --- spark-scale knobs ---
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 2048

@@ -54,6 +54,17 @@ def build_graph(
     )
     chunks = stage("chunks", lambda: chunk_documents(documents, config), ("documents",))
 
+    if config.embed_chunks:
+        # stage 2 of the reference's 7-stage pipeline: hash embeddings over
+        # chunk content (retrieval/mod.rs:446-450)
+        from graphrag_rs_spark.functions.embeddings import add_embeddings
+
+        chunks = stage(
+            "chunk_embeddings",
+            lambda: add_embeddings(chunks, text_col="text", dim=config.embedding_dim),
+            ("chunks",),
+        )
+
     def _extract():
         if config.max_gleaning_rounds > 1:
             return extract_gleaning(chunks, config)
@@ -88,6 +99,7 @@ def build_graph(
             cache_intermediate=(ckpt is None),
         )
 
+    semantic = None
     if ckpt is None:
         nodes, edges, node_stats = _materialize()
     else:
@@ -106,6 +118,45 @@ def build_graph(
             upstreams=("edges", "nodes"),
         )
 
+    if config.semantic_edges:
+        # optional stage: SEMANTICALLY_SIMILAR edges between canonical
+        # entities (graph/mod.rs:235-292); entity embedding text is
+        # "{name} {type}" (retrieval/mod.rs:453-457)
+        from graphrag_rs_spark.functions.embeddings import add_embeddings
+        from graphrag_rs_spark.operators.retrieval import (
+            semantic_similarity_edges,
+        )
+        from pyspark.sql import functions as F
+
+        def _semantic():
+            embedded = add_embeddings(
+                nodes.withColumn(
+                    "_etext", F.concat_ws(" ", "name", "entity_type")
+                ),
+                text_col="_etext",
+                dim=config.embedding_dim,
+            )
+            sem = semantic_similarity_edges(
+                embedded.select(
+                    "cluster_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                id_col="cluster_id",
+                threshold=config.semantic_edge_threshold,
+                max_connections=config.semantic_edge_max_connections,
+                method=config.semantic_edge_method,
+            )
+            return sem.select(
+                F.col("src").alias("subj"),
+                "pred",
+                F.col("dst").alias("obj"),
+                F.col("similarity").alias("confidence"),
+                F.array().cast("array<string>").alias("context"),
+            )
+
+        semantic = stage("semantic_edges", _semantic, ("nodes",))
+        edges = edges.unionByName(semantic)
+
     return {
         "documents": documents,
         "chunks": chunks,
@@ -117,5 +168,6 @@ def build_graph(
         "nodes": nodes,
         "edges": edges,
         "node_stats": node_stats,
+        "semantic_edges": semantic,
         "_checkpoint": ckpt,
     }

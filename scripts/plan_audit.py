@@ -127,6 +127,45 @@ def main() -> None:
         summarize(p), p,
     ))
 
+    from graphrag_rs_spark.operators.analytics import local_clustering
+    from graphrag_rs_spark.operators.concepts import concept_phrases
+    from graphrag_rs_spark.operators.retrieval import tfidf_keywords
+
+    p = plan_of(concept_phrases(documents, text_col="text", id_col="doc_id"))
+    sections.append((
+        "concept phrase mining (pure Catalyst regex path)",
+        "Zero Python stages: regexp_extract_all + higher-order filters run "
+        "inside WholeStageCodegen; the only Exchange is the final distinct.",
+        summarize(p), p,
+    ))
+
+    p = plan_of(tfidf_keywords(documents, top_k=5))
+    sections.append((
+        "TF-IDF keywords (two-aggregation shape)",
+        "No Python stages; tokenize is narrow; term counts and document "
+        "frequencies shuffle on term keys with partial aggregation; the "
+        "per-doc top-k Window exchanges on doc_id only.",
+        summarize(p), p,
+    ))
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    band = (
+        nation.select(
+            F.col("n_regionkey").alias("g"),
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        )
+    )
+    band_edges = band.alias("a").join(band.alias("b"), "g").select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    ).where(F.col("src") < F.col("dst"))
+    p = plan_of(local_clustering(band_edges))
+    sections.append((
+        "clustering coefficient (wedge join triangle count)",
+        "Triangle counting is two hash joins on edge keys + one aggregation "
+        "— no per-node adjacency collection, no Python.",
+        summarize(p), p,
+    ))
+
     out = ["# PLANS — physical-plan audit evidence",
            "",
            "Generated by `scripts/plan_audit.py` (`local[8]`, AQE on, sf0.01 "

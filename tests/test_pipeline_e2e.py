@@ -119,3 +119,50 @@ def test_edges_have_context_chunks(built):
     assert rows
     for r in rows:
         assert r["context"], "every edge must carry its source chunk ids"
+
+
+def test_embedding_and_semantic_edge_stages(spark):
+    """Optional stage 2 (hash chunk embeddings) and the semantic-edge stage
+    (graph/mod.rs:235-292): embeddings are unit-norm array<float>; semantic
+    edges are typed SEMANTICALLY_SIMILAR, confidence > threshold, and at
+    most max_connections per source node."""
+    from pyspark.sql import functions as F
+
+    rows = generate_transcripts(20, seed=7)
+    config = PipelineConfig(
+        embed_chunks=True,
+        semantic_edges=True,
+        semantic_edge_threshold=0.3,
+        semantic_edge_max_connections=3,
+        semantic_edge_method="exact",
+    )
+    tdf = spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    tables = build_graph(spark, tdf, config)
+
+    chunks = tables["chunks"]
+    assert "embedding" in chunks.columns
+    norms = chunks.select(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r["sq"] - 1.0) < 1e-3 for r in norms)
+
+    sem = tables["semantic_edges"]
+    assert sem is not None
+    rows_sem = sem.collect()
+    assert rows_sem, "semantic stage produced no edges at low threshold"
+    assert all(r["pred"] == "SEMANTICALLY_SIMILAR" for r in rows_sem)
+    assert all(r["confidence"] > 0.3 for r in rows_sem)
+    per_src = {}
+    for r in rows_sem:
+        per_src[r["subj"]] = per_src.get(r["subj"], 0) + 1
+    assert max(per_src.values()) <= 3
+    # combined edge table contains both co-occurrence and semantic edges
+    preds = {r["pred"] for r in tables["edges"].select("pred").distinct().collect()}
+    assert "SEMANTICALLY_SIMILAR" in preds and len(preds) > 1
