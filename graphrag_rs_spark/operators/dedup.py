@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,31 +63,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — minhash via num_hashes universal-hash
     permutations h_i(x) = (a_i·(x mod p) + b_i) mod p over the Mersenne
-    prime p = 2^31 − 1 (intermediates stay < 2^62, safe under ANSI mode),
-    min-aggregated JVM-side with higher-order array functions."""
+    prime p = 2^31 − 1.
+
+    Shingle hashing stays JVM-side (xxhash64 in codegen); the num_hashes×
+    |shingles| min-reduction runs as ONE numpy matrix op per row inside an
+    Arrow-batched pandas UDF. (The pure-Catalyst alternative — num_hashes
+    separate ``F.aggregate`` higher-order folds — is interpreted per
+    element and measured ~50× slower at 128 permutations.)"""
     import random
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     p = (1 << 31) - 1
     rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
-    ]
+    a_np = [rng.randrange(1, p) for _ in range(num_hashes)]
+    b_np = [rng.randrange(0, p) for _ in range(num_hashes)]
     shingles = _shingle_hashes(text_col, shingle)
 
-    def min_perm(a: int, b: int):
-        # Spark higher-order lambdas must take exactly (acc, x) — bind the
-        # permutation coefficients via closure, not default args
-        return lambda acc, x: F.least(
-            acc, F.pmod(F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
-        )
+    @pandas_udf("array<long>")
+    def minhash_udf(shingle_col: pd.Series) -> pd.Series:
+        import numpy as np
 
-    sig = F.array(
-        *[
-            F.aggregate(shingles, F.lit(p).cast("long"), min_perm(a, b))
-            for a, b in coeffs
-        ]
-    )
-    return df.select(F.col(id_col), sig.alias("sig"))
+        a = np.asarray(a_np, dtype=np.int64)  # (H,)
+        b = np.asarray(b_np, dtype=np.int64)
+        out = []
+        for sh in shingle_col:
+            x = np.asarray(sh, dtype=np.int64)
+            if x.size == 0:
+                out.append([p] * num_hashes)
+                continue
+            xm = x % p  # non-negative, matches F.pmod
+            # (H, N) permutation values; intermediates < 2^62
+            vals = (xm[None, :] * a[:, None] + b[:, None]) % p
+            out.append([int(v) for v in vals.min(axis=1)])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), minhash_udf(shingles).alias("sig"))
 
 
 def minhash_lsh_dedup(
@@ -110,7 +123,9 @@ def minhash_lsh_dedup(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed)
+    # cache: the signature UDF output feeds the banding pass AND both
+    # sig re-attach joins (Spark's LRU evicts it once downstream finishes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed).cache()
 
     banded = sigs.select(
         F.col(id_col),
@@ -133,17 +148,27 @@ def minhash_lsh_dedup(
         ).alias("bb"),
     ).select(F.col(id_col), "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id1"), F.col("sig").alias("sig1")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id2"), F.col("sig").alias("sig2")
-    )
-    cand = (
+    # join on ids only — carrying the 128-long sig through a ×bands
+    # exploded self-join would multiply shuffle volume by bands; signatures
+    # re-attach to the (much smaller) deduped candidate set afterwards
+    left = banded.select("band", "bucket", F.col(id_col).alias("id1"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("id2"))
+    pair_ids = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sig1", "sig2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    sig_only = sigs.select(F.col(id_col), "sig")
+    cand = (
+        pair_ids.join(
+            sig_only.select(F.col(id_col).alias("id1"), F.col("sig").alias("sig1")),
+            "id1",
+        )
+        .join(
+            sig_only.select(F.col(id_col).alias("id2"), F.col("sig").alias("sig2")),
+            "id2",
+        )
     )
     # estimated jaccard = matching minhash positions / num_hashes
     cand = cand.withColumn(
@@ -242,25 +267,20 @@ def embedding_near_dup(
     """
     import random
 
+    from graphrag_rs_spark.operators.similarity_search import sign_buckets_udf
+
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
-    def plane_bit(vec, plane):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    bucket = F.concat(*[plane_bit(F.col(vec_col), p) for p in planes])
-    buckets = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    # single-table sign bucketing, one numpy pass per Arrow batch
+    bucket_of = sign_buckets_udf([planes])
+    buckets = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(bucket_of(F.col(vec_col))).alias("bucket"),
+    )
     left = buckets.select(
         "bucket", F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )

@@ -258,25 +258,26 @@ def semantic_similarity_edges(
         first = nodes.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first else 0
         rng = random.Random(seed)
-        from graphrag_rs_spark.operators.similarity_search import _bucket_expr
+        from graphrag_rs_spark.operators.similarity_search import sign_buckets_udf
 
-        cand = None
-        for t in range(n_tables):
-            planes = [
-                [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-            ]
-            b = normed.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.concat(F.lit(f"{t}:"), _bucket_expr(vec_col, planes)).alias("bucket"),
-            )
-            lt = b.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
-            rt = b.select("bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
-            got = lt.join(rt, "bucket").where(F.col("src") != F.col("dst")).select(
-                "src", "dst", "v1", "v2"
-            )
-            cand = got if cand is None else cand.unionByName(got)
-        pairs = cand.dropDuplicates(["src", "dst"])
+        planes_tables = [
+            [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+            for _ in range(n_tables)
+        ]
+        bucket_of = sign_buckets_udf(planes_tables)
+        b = normed.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(bucket_of(F.col(vec_col))).alias("bucket"),
+        )
+        lt = b.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("v1"))
+        rt = b.select("bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("v2"))
+        pairs = (
+            lt.join(rt, "bucket")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", "v1", "v2")
+            .dropDuplicates(["src", "dst"])
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 

@@ -17,6 +17,7 @@ row anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +57,45 @@ def brute_force_knn(
     )
 
 
+def sign_buckets_udf(planes_tables: list[list[list[float]]]):
+    """Arrow-batched hyperplane bucketing: ONE numpy matmul per batch
+    computes every table's sign pattern; returns ``array<long>`` with one
+    bucket id per table (table index folded into the high bits so buckets
+    from different tables never collide).
+
+    Replaces per-plane ``F.aggregate`` chains (interpreted per element) on
+    the hot path — n_tables × n_planes dots collapse into a single
+    (batch, dim) @ (dim, T·P) product.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(planes_tables)
+    n_planes = len(planes_tables[0])
+    flat = np.asarray(
+        [p for table in planes_tables for p in table], dtype=np.float64
+    )  # (T*P, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([[] for _ in range(len(vecs))])
+        bits = (mat @ flat.T) >= 0.0  # (B, T*P)
+        out = []
+        for row in bits:
+            vals = []
+            for t in range(n_tables):
+                code = int(row[t * n_planes:(t + 1) * n_planes] @ weights)
+                vals.append(code | (t << 48))
+            out.append(vals)
+        return pd.Series(out)
+
+    return buckets
+
+
 def _bucket_expr(vec_col: str, planes: list[list[float]]):
     bits = []
     for p in planes:
@@ -85,30 +125,34 @@ def lsh_knn(
 ) -> DataFrame:
     """Approximate top-k: vectors and queries hash into sign buckets under
     ``n_tables`` independent plane sets; exact cosine re-scoring runs only
-    inside shared buckets. Recall grows with n_tables (OR-amplification)."""
+    inside shared buckets. Recall grows with n_tables (OR-amplification).
+
+    All tables' buckets come from ONE vectorized pass over the corpus
+    (sign_buckets_udf) — not n_tables rescans."""
     import random
 
     first = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
     rng = random.Random(seed)
+    planes_tables = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+    bucket_of = sign_buckets_udf(planes_tables)
 
-    cand = None
-    for t in range(n_tables):
-        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        vb = vectors.select(
-            F.col(id_col), F.col(vec_col),
-            F.concat(F.lit(f"{t}:"), _bucket_expr(vec_col, planes)).alias("bucket"),
-        )
-        qb = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-            F.concat(F.lit(f"{t}:"), _bucket_expr(vec_col, planes)).alias("bucket"),
-        )
-        got = vb.join(F.broadcast(qb), "bucket").select(
-            query_id_col, id_col, vec_col, "_qvec"
-        )
-        cand = got if cand is None else cand.unionByName(got)
-
-    cand = cand.dropDuplicates([query_id_col, id_col])
+    vb = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(bucket_of(F.col(vec_col))).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(bucket_of(F.col(vec_col))).alias("bucket"),
+    )
+    cand = (
+        vb.join(F.broadcast(qb), "bucket")
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -1,0 +1,187 @@
+"""Structured Streaming incremental ingest.
+
+The reference has NO stream engine — its "incremental" surface is
+micro-batch upsert with rollback (graphrag-rs graph/incremental.rs:92-341,
+SURVEY.md §2 streaming note). The honest Spark mapping is ``readStream``
+over a transcript directory driving the batch operators per micro-batch
+via ``foreachBatch``. ``Trigger.AvailableNow`` gives the
+ingest-what-exists-then-stop behavior of the reference's
+StreamingImporter (pipeline/data_import.rs:604-612).
+
+**Exact incremental = rebuild.** Each batch runs only the EXPENSIVE narrow
+stages (assembly → chunking → extraction) on the new conversations, then
+merges the extraction-level tables (``entities_raw``, ``edges_raw``) into
+the workspace with associative aggregations (max confidence, sum mentions,
+min first-appearance order key, alias union) and re-runs canonicalization
++ materialization over the merged raw tables. Because the raw-table merge
+is associative and the greedy replay orders by the global first-appearance
+key, the workspace after N batches is IDENTICAL to a single batch build
+over the unioned transcripts — verified by tests/test_streaming_ingest.py.
+This mirrors the reference's incremental claim ("10× faster than rebuild")
+honestly: extraction is incremental; linking re-runs on the (much smaller)
+entity roll-up.
+
+At cluster scale the sink tables are Iceberg (``MERGE INTO`` + snapshot
+commit); here the state store is a parquet workspace swapped atomically
+per batch (same call sites, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import PipelineConfig
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (pass a glob like
+    ``dir/*`` when drops arrive as subdirectories)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def merge_entities_raw(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Associative re-aggregation of per-batch entity roll-ups — the same
+    functions ``entities_raw_table`` uses, so batch-merge ≡ global build."""
+    both = old.unionByName(new)
+    return both.groupBy("entity_id").agg(
+        F.max_by("name", F.struct("confidence", "name")).alias("name"),
+        F.first("entity_type").alias("entity_type"),
+        F.max("confidence").alias("confidence"),
+        F.sum("mention_count").alias("mention_count"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("aliases")))
+        ).alias("aliases"),
+        F.min("order_key").alias("order_key"),
+    )
+
+
+class IncrementalGraphSink:
+    """foreachBatch sink: extraction on the delta only; canonicalization +
+    materialization re-run over the merged raw tables."""
+
+    def __init__(
+        self,
+        workspace_dir: str,
+        config: PipelineConfig | None = None,
+    ) -> None:
+        self.workspace_dir = workspace_dir
+        self.config = config or PipelineConfig()
+        os.makedirs(workspace_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.workspace_dir, name)
+
+    def _read_existing(self, spark: SparkSession, name: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self._path(name))
+        except Exception:
+            return None
+
+    def _swap_in(self, name: str, df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        tmp = self._path(f"_tmp_{name}_{batch_id}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        bak = self._path(f"_bak_{name}_{batch_id}")
+        if os.path.exists(final):
+            os.rename(final, bak)
+        os.rename(tmp, final)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from graphrag_rs_spark.operators.assembly import assemble_documents
+        from graphrag_rs_spark.operators.canonicalize import canonicalize_entities
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+        from graphrag_rs_spark.operators.extraction import (
+            edges_raw_table,
+            entities_raw_table,
+            extract_chunks,
+        )
+        from graphrag_rs_spark.operators.materialize import materialize_graph
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+
+        # delta-only narrow stages (the expensive part)
+        documents = assemble_documents(
+            batch_df, separator=self.config.turn_separator
+        )
+        chunks = chunk_documents(documents, self.config)
+        extraction = extract_chunks(chunks, self.config).cache()
+        new_entities = entities_raw_table(extraction)
+        new_edges_raw = edges_raw_table(
+            extraction, self.config.relationship_confidence
+        )
+
+        old_entities = self._read_existing(spark, "entities_raw")
+        old_edges_raw = self._read_existing(spark, "edges_raw")
+        # eager localCheckpoint cuts lineage from the CURRENT workspace
+        # files — the directory swap below must not invalidate any plan
+        # that still reads them
+        entities_raw = (
+            merge_entities_raw(old_entities, new_entities)
+            if old_entities is not None
+            else new_entities
+        ).localCheckpoint(eager=True)
+        edges_raw = (
+            old_edges_raw.unionByName(new_edges_raw)
+            if old_edges_raw is not None
+            else new_edges_raw
+        ).localCheckpoint(eager=True)
+
+        # global re-link + materialize over the merged roll-ups
+        clusters = canonicalize_entities(entities_raw, self.config).cache()
+        nodes, edges, node_stats = materialize_graph(
+            edges_raw, clusters, entities_raw, self.config,
+            cache_intermediate=True,
+        )
+
+        # derived tables first (their plans may still scan the old raw
+        # files through the checkpoint boundary), then the raw tables
+        self._swap_in("entities", nodes, batch_id)
+        self._swap_in("relationships", edges, batch_id)
+        self._swap_in("node_stats", node_stats, batch_id)
+        self._swap_in("entities_raw", entities_raw, batch_id)
+        self._swap_in("edges_raw", edges_raw, batch_id)
+        extraction.unpersist()
+        clusters.unpersist()
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    workspace_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig | None = None,
+    available_now: bool = True,
+) -> None:
+    """Start the stream and (with ``available_now``) block until every
+    pending file is ingested — the batch-catchup trigger."""
+    sink = IncrementalGraphSink(workspace_dir, config)
+    stream = read_transcript_stream(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
