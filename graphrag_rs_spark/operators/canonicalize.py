@@ -252,9 +252,15 @@ def canonicalize_entities(
     """
     config = config or PipelineConfig()
     pairs = candidate_pairs(entities, config)
-    matches = score_pairs(pairs, config)
+    # matches is TINY (pairs above threshold) but expensive to produce
+    # (blocking UDF + scoring UDF + joins); checkpoint it eagerly — the CC
+    # strategy probe, the CC itself, and the member join each trigger an
+    # action and would otherwise re-run the whole candidate chain
+    matches = score_pairs(pairs, config).localCheckpoint(eager=True)
 
-    cc = connected_components(matches, src="id1", dst="id2")
+    cc = connected_components(matches, src="id1", dst="id2").localCheckpoint(
+        eager=True
+    )
 
     # only component members go through the greedy replay (tiny minority)
     members = entities.join(cc, entities["entity_id"] == cc["id"]).select(

@@ -134,6 +134,30 @@ class CheckpointManager:
     def lineage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "lineage"))
 
+    def validate(self, stage: str) -> DataFrame:
+        """Re-derive per-partition (row_count, checksum) from the stage's
+        CURRENT data files and anti-join against the recorded lineage —
+        returns the mismatched/missing partition rows (empty = intact).
+        The partition-granular integrity check behind exact resume: a
+        damaged snapshot is detected before anything downstream trusts it.
+        """
+        data_dir = os.path.join(self._stage_dir(stage), "data")
+        recorded = self.lineage(stage)
+        try:
+            current = self._lineage_for(stage, self.spark.read.parquet(data_dir))
+        except Exception:
+            # snapshot unreadable (all data files gone): every recorded
+            # partition is missing
+            return recorded.withColumn("problem", F.lit("missing_or_changed"))
+        key = ["stage", "partition_id", "row_count", "checksum"]
+        missing = recorded.join(current, key, "left_anti").withColumn(
+            "problem", F.lit("missing_or_changed")
+        )
+        extra = current.join(recorded, key, "left_anti").withColumn(
+            "problem", F.lit("unexpected")
+        )
+        return missing.unionByName(extra)
+
     def manifest(self, stage: str) -> dict | None:
         return self._read_manifest(self._manifest_path(stage))
 

@@ -215,36 +215,50 @@ def _make_entity(name: str, entity_type: str, confidence: float, text: str) -> E
     )
 
 
-def _extract_known_names(words, processed, text, min_confidence, out):
-    """mod.rs:332-390 — PHASE 1."""
-    for i in range(len(words)):
+# first-word index over KNOWN_NAMES: candidates per bucket keep the
+# original tuple order, so the scan below sees names in EXACTLY the order
+# the reference's linear loop does (mod.rs:332-390) — pure speedup
+_KNOWN_NAMES_BY_FIRST: dict[str, list[tuple[str, list[str]]]] = {}
+for _name in KNOWN_NAMES:
+    _nw = [w.lower() for w in _name.split()]
+    _KNOWN_NAMES_BY_FIRST.setdefault(_nw[0], []).append((_name, _nw))
+
+
+def _extract_known_names(words, cleaned_lower, processed, text, min_confidence, out):
+    """mod.rs:332-390 — PHASE 1. ``cleaned_lower`` is the per-chunk
+    precomputed ``clean_word(w).lower()`` list (hot path: this phase was
+    75% of extraction time when cleaning per comparison)."""
+    n = len(words)
+    for i in range(n):
         if i in processed:
             continue
-        for name in KNOWN_NAMES:
-            name_words = name.split()
-            if i + len(name_words) <= len(words):
-                if all(
-                    clean_word(words[i + j]).lower() == expected.lower()
-                    for j, expected in enumerate(name_words)
-                ):
-                    if 0.95 >= min_confidence:
-                        out.append(_make_entity(name, "PERSON", 0.95, text))
-                    for j in range(len(name_words)):
-                        processed.add(i + j)
-                    break
+        candidates = _KNOWN_NAMES_BY_FIRST.get(cleaned_lower[i])
+        if not candidates:
+            continue
+        for name, name_words in candidates:
+            if i + len(name_words) <= n and all(
+                cleaned_lower[i + j] == expected
+                for j, expected in enumerate(name_words)
+            ):
+                if 0.95 >= min_confidence:
+                    out.append(_make_entity(name, "PERSON", 0.95, text))
+                for j in range(len(name_words)):
+                    processed.add(i + j)
+                break
 
 
-def _extract_title_based(words, processed, text, min_confidence, out):
+def _extract_title_based(words, cleaned, cleaned_lower, processed, text,
+                         min_confidence, out):
     """mod.rs:393-440 — PHASE 2."""
     for i in range(len(words)):
         if i in processed:
             continue
-        word_clean = clean_word(words[i]).lower()
+        word_clean = cleaned_lower[i]
         if word_clean in PERSON_TITLES and i + 1 < len(words) and (i + 1) not in processed:
-            next_word = clean_word(words[i + 1])
+            next_word = cleaned[i + 1]
             if is_capitalized(words[i + 1]) and is_likely_person_word(next_word):
                 if i + 2 < len(words) and (i + 2) not in processed:
-                    third = clean_word(words[i + 2])
+                    third = cleaned[i + 2]
                     if is_capitalized(words[i + 2]) and is_likely_person_word(third):
                         processed.add(i + 2)
                         name = f"{next_word} {third}"
@@ -258,13 +272,13 @@ def _extract_title_based(words, processed, text, min_confidence, out):
                 processed.add(i + 1)
 
 
-def _extract_two_word(words, processed, text, min_confidence, out):
+def _extract_two_word(words, cleaned, processed, text, min_confidence, out):
     """mod.rs:443-482 — PHASE 3."""
     for i in range(len(words)):
         if i in processed or i + 1 >= len(words) or (i + 1) in processed:
             continue
-        first = clean_word(words[i])
-        second = clean_word(words[i + 1])
+        first = cleaned[i]
+        second = cleaned[i + 1]
         if (
             is_capitalized(words[i])
             and is_capitalized(words[i + 1])
@@ -286,15 +300,19 @@ def extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
     """mod.rs:159-330 — the 4-phase person extractor."""
     entities: list[ExtractedEntity] = []
     words = text.split()
+    # one cleaning pass per chunk, reused by every phase
+    cleaned = [clean_word(w) for w in words]
+    cleaned_lower = [c.lower() for c in cleaned]
     processed: set[int] = set()
-    _extract_known_names(words, processed, text, min_confidence, entities)
-    _extract_title_based(words, processed, text, min_confidence, entities)
-    _extract_two_word(words, processed, text, min_confidence, entities)
+    _extract_known_names(words, cleaned_lower, processed, text, min_confidence, entities)
+    _extract_title_based(words, cleaned, cleaned_lower, processed, text,
+                         min_confidence, entities)
+    _extract_two_word(words, cleaned, processed, text, min_confidence, entities)
     # PHASE 4: remaining single capitalized words (mod.rs:307-327)
     for i, word_ref in enumerate(words):
         if i in processed:
             continue
-        word = clean_word(word_ref)
+        word = cleaned[i]
         if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
             continue
         if is_capitalized(words[i]) and is_likely_person_word(word):

@@ -77,3 +77,30 @@ def test_rollback_forces_recompute(spark, transcripts, tmp_path):
     mgr2: CheckpointManager = again["_checkpoint"]
     assert "extraction" in mgr2.stages_computed
     assert "documents" in mgr2.stages_resumed and "chunks" in mgr2.stages_resumed
+
+
+def test_validate_detects_partition_damage(spark, transcripts, tmp_path):
+    """Per-partition lineage validation: intact snapshot -> empty report;
+    damaged data file -> the affected partition surfaces."""
+    import glob
+    import os
+
+    cfg = PipelineConfig()
+    ckpt_dir = str(tmp_path / "ckpt")
+    tables = build_graph(spark, transcripts, cfg, checkpoint_dir=ckpt_dir)
+    tables["edges"].count()
+    mgr: CheckpointManager = tables["_checkpoint"]
+
+    assert mgr.validate("documents").count() == 0
+
+    # corrupt the snapshot: delete one data file
+    files = sorted(
+        glob.glob(os.path.join(ckpt_dir, "documents", "data", "part-*.parquet"))
+    )
+    assert files
+    os.remove(files[0])
+    report = mgr.validate("documents")
+    assert report.count() > 0
+    assert {r["problem"] for r in report.collect()} <= {
+        "missing_or_changed", "unexpected"
+    }
