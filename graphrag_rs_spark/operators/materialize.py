@@ -29,15 +29,29 @@ def repoint_edges(
     edges_raw: DataFrame,
     clusters: DataFrame,
     broadcast_linkmap: bool = True,
+    relationship_confidence: float = 0.5,
 ) -> DataFrame:
     """Map subj/obj to canonical cluster ids and dedupe.
 
+    Accepts EITHER shape of raw triples:
+
+    * occurrence-level rows (subj, pred, obj, confidence, context_chunk)
+      from ``edges_raw_table``, or
+    * per-partition pre-combined rows (subj, pred, obj, contexts,
+      n_occurrences) from ``edges_partial_table`` — ~30× fewer rows reach
+      the joins and the final aggregation merges partial context sets
+      (associative, bit-identical result).
+
     Returns edges(subj, pred, obj, confidence, context array<string>).
     """
+    combined = "contexts" in edges_raw.columns
     linkmap = clusters.select("entity_id", "cluster_id")
     if broadcast_linkmap:
         linkmap = F.broadcast(linkmap)
 
+    carry = ["contexts", "n_occurrences"] if combined else [
+        "confidence", "context_chunk"
+    ]
     repointed = (
         edges_raw.join(
             linkmap.select(
@@ -57,8 +71,7 @@ def repoint_edges(
             F.coalesce("subj_c", "subj").alias("subj"),
             F.col("pred"),
             F.coalesce("obj_c", "obj").alias("obj"),
-            "confidence",
-            "context_chunk",
+            *carry,
         )
         .where(F.col("subj") != F.col("obj"))  # merged endpoints → self-loop → drop
     )
@@ -66,6 +79,24 @@ def repoint_edges(
     # dedupe on (subj, obj, pred): max confidence, contexts unioned
     # (groupBy does map-side partial aggregation, so hub-entity skew is
     # absorbed by the combiner before the shuffle)
+    if combined:
+        # occurrence rows all carry the constant config confidence
+        # (edges_raw_table semantics, config/mod.rs:887-889), so max == lit
+        return (
+            repointed.groupBy("subj", "pred", "obj")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("contexts")))
+                ).alias("context"),
+            )
+            .select(
+                "subj",
+                "pred",
+                "obj",
+                F.lit(relationship_confidence).cast("float").alias("confidence"),
+                "context",
+            )
+        )
     return repointed.groupBy("subj", "pred", "obj").agg(
         F.max("confidence").alias("confidence"),
         F.array_sort(F.collect_set("context_chunk")).alias("context"),
@@ -104,7 +135,10 @@ def materialize_graph(
     if cache_intermediate:
         # nodes feeds the integrity-filter broadcast AND the output
         nodes = nodes.cache()
-    edges = repoint_edges(edges_raw, clusters)
+    edges = repoint_edges(
+        edges_raw, clusters,
+        relationship_confidence=config.relationship_confidence,
+    )
 
     # referential integrity (core/mod.rs:291-306): drop edges with unknown
     # endpoints — left-semi joins prune without widening rows

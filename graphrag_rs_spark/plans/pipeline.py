@@ -94,6 +94,11 @@ def build_graph(
     def _materialize():
         # without a checkpoint, cache edges inside: they feed degrees,
         # communities AND the final output
+        # NOTE: the occurrence-level JVM path measured FASTER than the
+        # Python-side combiner (edges_partial_table) here — codegen
+        # hash-agg over 40M narrow rows beats per-row Python dict ops;
+        # the combiner still wins where state SIZE matters (streaming
+        # workspace keeps 269k partial rows instead of 40M occurrences)
         return materialize_graph(
             edges_raw, clusters, entities_raw, config,
             cache_intermediate=(ckpt is None),

@@ -10,7 +10,8 @@ StreamingImporter (pipeline/data_import.rs:604-612).
 
 **Exact incremental = rebuild.** Each batch runs only the EXPENSIVE narrow
 stages (assembly → chunking → extraction) on the new conversations, then
-merges the extraction-level tables (``entities_raw``, ``edges_raw``) into
+merges the extraction-level tables (``entities_raw``, pre-combined
+triple partials) into
 the workspace with associative aggregations (max confidence, sum mentions,
 min first-appearance order key, alias union) and re-runs canonicalization
 + materialization over the merged raw tables. Because the raw-table merge
@@ -50,6 +51,18 @@ def read_transcript_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(input_dir)
+
+
+def merge_edges_partial(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Associative merge of pre-combined triple partials (contexts union,
+    occurrence sum) — batch-merge ≡ global build."""
+    both = old.unionByName(new)
+    return both.groupBy("subj", "pred", "obj").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("contexts")))
+        ).alias("contexts"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+    )
 
 
 def merge_entities_raw(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -108,7 +121,7 @@ class IncrementalGraphSink:
         from graphrag_rs_spark.operators.canonicalize import canonicalize_entities
         from graphrag_rs_spark.operators.chunking import chunk_documents
         from graphrag_rs_spark.operators.extraction import (
-            edges_raw_table,
+            edges_partial_table,
             entities_raw_table,
             extract_chunks,
         )
@@ -125,9 +138,7 @@ class IncrementalGraphSink:
         chunks = chunk_documents(documents, self.config)
         extraction = extract_chunks(chunks, self.config).cache()
         new_entities = entities_raw_table(extraction)
-        new_edges_raw = edges_raw_table(
-            extraction, self.config.relationship_confidence
-        )
+        new_edges_raw = edges_partial_table(extraction)
 
         old_entities = self._read_existing(spark, "entities_raw")
         old_edges_raw = self._read_existing(spark, "edges_raw")
@@ -140,7 +151,7 @@ class IncrementalGraphSink:
             else new_entities
         ).localCheckpoint(eager=True)
         edges_raw = (
-            old_edges_raw.unionByName(new_edges_raw)
+            merge_edges_partial(old_edges_raw, new_edges_raw)
             if old_edges_raw is not None
             else new_edges_raw
         ).localCheckpoint(eager=True)
