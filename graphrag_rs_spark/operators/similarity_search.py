@@ -175,7 +175,13 @@ def ivf_knn(
 ) -> DataFrame:
     """IVF: corpus assigned to nearest of ``n_centroids`` centroids (seeded
     deterministic sample + one Lloyd refinement, computed once); each query
-    probes its ``n_probe`` nearest centroid lists and re-scores exactly."""
+    probes its ``n_probe`` nearest centroid lists and re-scores exactly.
+
+    Training is inherently multi-pass (sample → assign → refine →
+    re-assign), so the corpus projection is cached for the duration —
+    the standard IVF build shape; at cluster scale this is the persisted
+    assignment table."""
+    vectors = vectors.select(id_col, vec_col).cache()
     # deterministic centroid init: first n_centroids by hash order
     sample = (
         vectors.select(id_col, vec_col)
@@ -186,13 +192,28 @@ def ivf_knn(
     init = [list(map(float, r[vec_col])) for r in sample]
 
     def best_centroid(centroids):
-        sims = F.array(
-            *[
-                cosine_similarity_col(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-                for c in centroids
-            ]
-        )
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        """argmax cosine over the centroid matrix — ONE numpy matmul per
+        Arrow batch (the per-centroid higher-order-expression alternative
+        is interpreted per element and ~10× slower at 16 centroids)."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        c = np.asarray(centroids, dtype=np.float64)  # (K, dim)
+        c_norm = np.linalg.norm(c, axis=1)
+        c_norm[c_norm == 0] = 1.0
+        cn = c / c_norm[:, None]
+
+        @pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.size == 0:
+                return pd.Series([], dtype="int32")
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ cn.T  # (B, K)
+            return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+        return assign(F.col(vec_col))
 
     assigned = vectors.select(
         F.col(id_col), F.col(vec_col), best_centroid(init).alias("cell")
@@ -215,21 +236,34 @@ def ivf_knn(
         F.col(id_col), F.col(vec_col), best_centroid(final).alias("cell")
     )
 
-    # queries probe n_probe nearest cells
-    sims = F.array(
-        *[
-            cosine_similarity_col(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-            for c in final
-        ]
-    )
-    order = F.array_sort(
-        F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))
-    )
-    probes = F.transform(F.slice(order, 1, n_probe), lambda s: s["cell"])
+    # queries probe n_probe nearest cells — same numpy matmul, top-n_probe
+    def probe_cells(centroids):
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        c = np.asarray(centroids, dtype=np.float64)
+        c_norm = np.linalg.norm(c, axis=1)
+        c_norm[c_norm == 0] = 1.0
+        cn = c / c_norm[:, None]
+
+        @pandas_udf("array<int>")
+        def probes_udf(vecs: pd.Series) -> pd.Series:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.size == 0:
+                return pd.Series([], dtype="object")
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ cn.T
+            # ties broken by lower cell index (stable argsort on -sim)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series([[int(x) for x in row] for row in order])
+
+        return probes_udf(F.col(vec_col))
+
     qcells = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(probes).alias("cell"),
+        F.explode(probe_cells(final)).alias("cell"),
     )
     cand = assigned.join(F.broadcast(qcells), "cell")
     scored = cand.select(

@@ -103,6 +103,50 @@ def k_hop_neighbors(
     return d.where(cond)
 
 
+def all_paths(
+    edges: DataFrame,
+    source: str,
+    target: str,
+    max_depth: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """All simple paths source → target up to ``max_depth`` hops
+    (traversal.rs:388-518: depth-bounded DFS with a visited set) —
+    distributed as frontier expansion carrying the path array; cycles are
+    pruned with ``array_contains``. Returns (path array<string>, length).
+
+    Depth is a config constant so the join count is bounded; path
+    enumeration is inherently exponential in dense graphs — keep
+    ``max_depth`` small exactly as the reference's TraversalConfig does.
+    """
+    spark = edges.sparkSession
+    sym = _sym_edges(edges, src, dst, None, 0.0).localCheckpoint(eager=True)
+
+    frontier = spark.createDataFrame(
+        [(source, [source])], "node string, path array<string>"
+    )
+    results = spark.createDataFrame([], "path array<string>, length int")
+    for depth in range(1, max_depth + 1):
+        stepped = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .where(~F.array_contains(F.col("path"), F.col("v")))
+            .select(
+                F.col("v").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("v"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = stepped.where(F.col("node") == target).select(
+            "path", F.lit(depth).cast("int").alias("length")
+        )
+        results = results.unionByName(done)
+        frontier = stepped.where(F.col("node") != target)
+        if frontier.isEmpty():
+            break
+    return results
+
+
 def ego_network(
     edges: DataFrame,
     ego: str,

@@ -107,3 +107,32 @@ class TestTraversal:
         assert ids == {"a", "b", "c"}
         pairs = {(r["src"], r["dst"]) for r in induced.collect()}
         assert pairs == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+class TestAllPaths:
+    def test_paths_in_diamond(self, spark):
+        # diamond a->b->d, a->c->d plus direct a->d
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d")],
+            "subj string, obj string",
+        )
+        from graphrag_rs_spark.operators.traversal import all_paths
+
+        got = {
+            (tuple(r["path"]), r["length"])
+            for r in all_paths(e, "a", "d", max_depth=3).collect()
+        }
+        assert (("a", "d"), 1) in got
+        assert (("a", "b", "d"), 2) in got
+        assert (("a", "c", "d"), 2) in got
+        # no path revisits a node
+        assert all(len(set(p)) == len(p) for p, _l in got)
+
+    def test_depth_bound(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "subj string, obj string"
+        )
+        from graphrag_rs_spark.operators.traversal import all_paths
+
+        assert all_paths(e, "a", "d", max_depth=2).count() == 0
+        assert all_paths(e, "a", "d", max_depth=3).count() == 1
