@@ -56,15 +56,25 @@ def main() -> None:
     # swings >2x between identical runs); interleave the two levels and
     # keep each level's BEST run — throughput capability, not a noisy draw
     best: dict[int, dict] = {}
+    pairwise: list[float] = []
     for r in range(reps):
+        pair: dict[int, dict] = {}
         for cpus in (lo, hi):
             res = run(cpus)
+            pair[cpus] = res
             print(f"rep{r} local[{cpus}]: {json.dumps(res['kg'])}",
                   file=sys.stderr)
             if (cpus not in best
                     or res["kg"]["triples_per_sec"]
                     > best[cpus]["kg"]["triples_per_sec"]):
                 best[cpus] = res
+        # same-rep pairing shares ambient interference — report it too
+        pe = (
+            pair[hi]["kg"]["triples_per_sec"]
+            / pair[lo]["kg"]["triples_per_sec"]
+        ) / (hi / lo)
+        pairwise.append(round(pe, 3))
+        print(f"rep{r} pairwise efficiency: {pe:.3f}", file=sys.stderr)
     r_lo, r_hi = best[lo], best[hi]
 
     thr_lo = r_lo["kg"]["triples_per_sec"]
@@ -80,6 +90,7 @@ def main() -> None:
         "kg_build_sec_N": r_lo["kg"]["kg_build_sec"],
         "kg_build_sec_4N": r_hi["kg"]["kg_build_sec"],
         "scaling_efficiency": round(eff, 3),
+        "pairwise_efficiencies": pairwise,
     }
     print(json.dumps(report))
 
