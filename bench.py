@@ -61,7 +61,8 @@ def bench_kg(spark: SparkSession, sf: float) -> dict:
     from graphrag_rs_spark.fixtures import transcripts_df
     from graphrag_rs_spark.plans.pipeline import build_graph
 
-    n_convs = KG_CONVS or max(200, int(20_000 * sf))
+    # sized so parallel work dominates fixed stage overhead at sf0.1
+    n_convs = KG_CONVS or max(200, int(40_000 * sf))
     t_gen = time.perf_counter()
     transcripts = transcripts_df(
         spark, n_convs, seed=42, distributed=True, partitions=CPUS * 4
