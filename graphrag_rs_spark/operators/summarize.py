@@ -149,6 +149,65 @@ def build_summary_tree(
     return out
 
 
+def query_tree(
+    tree: DataFrame, query: str, max_results: int = 10
+) -> DataFrame:
+    """Keyword-relevance query over tree nodes
+    (summarization/mod.rs:867-932), entirely JVM-side:
+
+    score = Σ_keywords [node_text contains kw]
+          + 2 · |query words ∩ node words| / |query words|
+          + 0.5 / (level + 1)
+
+    where query keywords are the reference TF keyword extraction of the
+    query (top 5) and node_text = lower(summary + " " + keywords). Nodes
+    with score > 0.1, sorted desc (tie: node_id asc — the reference's
+    partial_cmp sort is tie-unstable), top ``max_results``.
+    """
+    from collections import Counter
+
+    from graphrag_rs_spark.operators.retrieval import KEYWORD_STOPWORDS
+
+    toks = [
+        w for w in query.lower().split()
+        if len(w) > 3 and w not in KEYWORD_STOPWORDS
+    ]
+    counts = Counter(toks)
+    qkeywords = [w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    qwords = query.split()
+
+    node_text = F.lower(
+        F.concat_ws(" ", F.col("summary"), F.concat_ws(" ", F.col("keywords")))
+    )
+    node_words = F.split(node_text, r"\s+")
+
+    kw_score = sum(
+        (F.when(node_text.contains(kw.lower()), F.lit(1.0)).otherwise(F.lit(0.0))
+         for kw in qkeywords),
+        F.lit(0.0),
+    )
+    if qwords:
+        overlap = sum(
+            (F.when(F.array_contains(node_words, w.lower()), F.lit(1)).otherwise(F.lit(0))
+             for w in qwords),
+            F.lit(0),
+        )
+        word_score = overlap.cast("double") / F.lit(float(len(qwords))) * F.lit(2.0)
+    else:
+        word_score = F.lit(0.0)
+    level_score = F.lit(0.5) / (F.col("level") + 1)
+    score = kw_score + word_score + level_score
+
+    return (
+        tree.withColumn("score", score)
+        .where(F.col("score") > 0.1)
+        .orderBy(F.desc("score"), F.asc("node_id"))
+        .limit(max_results)
+        .select("doc_id", "node_id", "level", "score", "summary", "keywords",
+                "chunk_ids")
+    )
+
+
 def tree_roots(tree: DataFrame) -> DataFrame:
     """One root row per document: the single node at each doc's max level."""
     w = Window.partitionBy("doc_id").orderBy(F.desc("level"), F.asc("node_idx"))

@@ -226,3 +226,28 @@ class TestCrossDoc:
         by_id = {r["entity_id"]: r["cluster_id"] for r in out.collect()}
         assert by_id["e1"] == by_id["e2"]
         assert by_id["e3"] != by_id["e1"]
+
+
+class TestTreeQuery:
+    def test_query_scores_and_level_bonus(self, spark):
+        from graphrag_rs_spark.operators.summarize import query_tree
+
+        rows = [
+            ("d1", 0, 0, "leaf_0", "c", "Quantum physics remains strange today.",
+             ["quantum", "physics"], ["c0"]),
+            ("d1", 1, 0, "level_1_0", "c", "Combined summary about biology.",
+             ["biology"], ["c0", "c1"]),
+        ]
+        tree = spark.createDataFrame(
+            rows,
+            "doc_id string, level int, node_idx bigint, node_id string, "
+            "content string, summary string, keywords array<string>, "
+            "chunk_ids array<string>",
+        )
+        out = query_tree(tree, "quantum physics discoveries", max_results=5)
+        got = {r["node_id"]: r["score"] for r in out.collect()}
+        # leaf: 2 keyword hits + word overlap 2/3*2 + level 0.5 = 3.8333...
+        assert abs(got["leaf_0"] - (2.0 + (2 / 3) * 2.0 + 0.5)) < 1e-6
+        # biology node: only level bonus 0.5/(1+1)=0.25 -> passes the 0.1 floor
+        assert abs(got["level_1_0"] - 0.25) < 1e-6
+        assert out.collect()[0]["node_id"] == "leaf_0"
