@@ -207,6 +207,55 @@ def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# Single-process oracle dumps (the DuckDB side of the KG stage checks).
+#
+# The KG pipeline's input is the deterministic synthetic transcript fixture,
+# not one of the driver's pre-registered parquet views, so its DuckDB oracle
+# cannot be written directly against those views. Instead the INDEPENDENT
+# single-process Python implementation (graphrag_rs_spark/oracle.py — greedy
+# O(n²) reference composition, no Spark) is run on the same fixture rows and
+# its stage tables are dumped to parquet; the oracle SQL reads the dump via
+# read_parquet(). Exact parity (rows + schema + value hash) between the
+# distributed pipeline and this oracle is therefore what the driver checks.
+# pytest pins the same equality in tests/test_oracle_dumps.py.
+# ---------------------------------------------------------------------------
+
+ORACLE_DUMP_ROOT = "/tmp/graphrag_oracle_dumps"
+_DUMP_DONE: set[str] = set()
+
+
+def _ensure_oracle_dump(sf_dir: str) -> str:
+    """Write the Python-oracle stage tables for ``sf_dir``'s fixture size
+    (idempotent, memoized); returns the dump directory."""
+    import pandas as pd
+
+    from graphrag_rs_spark.fixtures import generate_transcripts
+    from graphrag_rs_spark.oracle import run_oracle, stage_tables
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(ORACLE_DUMP_ROOT, base)
+    if out_dir in _DUMP_DONE:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    sf = _sf_of(sf_dir)
+    n_convs = max(30, int(3000 * sf))
+    rows = generate_transcripts(n_convs, seed=42)
+    result = run_oracle(rows, _KG_CONFIG)
+    for name, table_rows in stage_tables(result, _KG_CONFIG).items():
+        pd.DataFrame(table_rows).to_parquet(
+            os.path.join(out_dir, f"{name}.parquet"), index=False
+        )
+    _DUMP_DONE.add(out_dir)
+    return out_dir
+
+
+# the driver's correctness gate runs at sf0.01; oracle_sql() strings are
+# static, so they read that dump path (written by oracle_sql() itself and by
+# every kg queries() entry, whichever runs first)
+_CORRECTNESS_DUMP = os.path.join(ORACLE_DUMP_ROOT, "sf0.01")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -232,27 +281,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_assembly"] = doc_assembly
 
-    # ---- KG pipeline stages over synthetic transcripts (rows-only) ----
+    # ---- KG pipeline stages over synthetic transcripts ----
+    # Every stage is oracle-checked against the parquet dump of the
+    # single-process Python oracle (see _ensure_oracle_dump). Array columns
+    # (aliases, context) are canonicalized to "|"-joined sorted strings and
+    # float32 confidences upcast to double so the driver's value hash
+    # compares like for like.
     def kg_chunks(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
         docs = assemble_documents(_fixture_transcripts(spark, sf_dir))
-        return chunk_documents(docs, _KG_CONFIG)
+        ch = chunk_documents(docs, _KG_CONFIG)
+        return ch.select(
+            "conv_id", "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_id", "text",
+            F.col("start").cast("long").alias("start"),
+            F.col("end").cast("long").alias("end"),
+        )
 
     q["kg_chunks"] = kg_chunks
 
-    def _kg_stage(name):
-        def run(spark, sf_dir):
-            return _kg_tables(spark, sf_dir)[name]
+    def kg_mentions(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        m = _kg_tables(spark, sf_dir)["mentions"]
+        return m.select(
+            "chunk_id", "conv_id", "entity_id", "name", "entity_type",
+            F.col("start").cast("long").alias("start"),
+            F.col("end").cast("long").alias("end"),
+            F.col("confidence").cast("double").alias("confidence"),
+        )
 
-        return run
+    q["kg_mentions"] = kg_mentions
 
-    q["kg_mentions"] = _kg_stage("mentions")
-    q["kg_entities_raw"] = lambda spark, sf_dir: _kg_tables(spark, sf_dir)[
-        "entities_raw"
-    ].drop("order_key")
-    q["kg_clusters"] = _kg_stage("clusters")
-    q["kg_nodes"] = _kg_stage("nodes")
-    q["kg_edges"] = _kg_stage("edges")
-    q["kg_node_stats"] = _kg_stage("node_stats")
+    def kg_entities_raw(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        er = _kg_tables(spark, sf_dir)["entities_raw"]
+        return er.select(
+            "entity_id", "name", "entity_type",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+            F.array_join(F.array_sort("aliases"), "|").alias("aliases"),
+        )
+
+    q["kg_entities_raw"] = kg_entities_raw
+
+    def kg_clusters(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        cl = _kg_tables(spark, sf_dir)["clusters"]
+        return cl.select(
+            "entity_id", "cluster_id", "canonical_name", "entity_type",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.col("cluster_confidence").cast("double").alias("cluster_confidence"),
+            F.col("member_count").cast("long").alias("member_count"),
+        )
+
+    q["kg_clusters"] = kg_clusters
+
+    def kg_nodes(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        n = _kg_tables(spark, sf_dir)["nodes"]
+        return n.select(
+            "cluster_id", "name", "entity_type",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+            F.col("member_count").cast("long").alias("member_count"),
+            F.array_join(F.array_sort("aliases"), "|").alias("aliases"),
+        )
+
+    q["kg_nodes"] = kg_nodes
+
+    def kg_edges(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        e = _kg_tables(spark, sf_dir)["edges"]
+        return e.select(
+            "subj", "pred", "obj",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.array_join(F.array_sort("context"), "|").alias("context"),
+        )
+
+    q["kg_edges"] = kg_edges
+
+    def kg_node_stats(spark, sf_dir):
+        _ensure_oracle_dump(sf_dir)
+        ns = _kg_tables(spark, sf_dir)["node_stats"]
+        return ns.select(
+            "cluster_id",
+            F.col("degree").cast("long").alias("degree"),
+            "community_id",
+            F.col("community_size").cast("long").alias("community_size"),
+        )
+
+    q["kg_node_stats"] = kg_node_stats
 
     # ---- graph primitives (oracle-checked on the nation path graph) ----
     def graph_cc(spark, sf_dir):
@@ -707,6 +826,46 @@ _LANG_LISTS = {
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # KG stage oracles read the single-process Python oracle's parquet dump
+    # (see _ensure_oracle_dump) — write it now in case the driver evaluates
+    # the SQL before the matching Spark query.
+    _ensure_oracle_dump("/root/testdata/sf0.01")
+
+    def _dump(name: str) -> str:
+        return os.path.join(_CORRECTNESS_DUMP, f"{name}.parquet")
+
+    o["kg_chunks"] = f"""
+        SELECT conv_id, doc_id, chunk_idx, chunk_id, text, "start", "end"
+        FROM read_parquet('{_dump("kg_chunks")}')
+    """
+    o["kg_mentions"] = f"""
+        SELECT chunk_id, conv_id, entity_id, name, entity_type,
+               "start", "end", confidence
+        FROM read_parquet('{_dump("kg_mentions")}')
+    """
+    o["kg_entities_raw"] = f"""
+        SELECT entity_id, name, entity_type, confidence, mention_count, aliases
+        FROM read_parquet('{_dump("kg_entities_raw")}')
+    """
+    o["kg_clusters"] = f"""
+        SELECT entity_id, cluster_id, canonical_name, entity_type,
+               confidence, cluster_confidence, member_count
+        FROM read_parquet('{_dump("kg_clusters")}')
+    """
+    o["kg_nodes"] = f"""
+        SELECT cluster_id, name, entity_type, confidence, mention_count,
+               member_count, aliases
+        FROM read_parquet('{_dump("kg_nodes")}')
+    """
+    o["kg_edges"] = f"""
+        SELECT subj, pred, obj, confidence, context
+        FROM read_parquet('{_dump("kg_edges")}')
+    """
+    o["kg_node_stats"] = f"""
+        SELECT cluster_id, degree, community_id, community_size
+        FROM read_parquet('{_dump("kg_node_stats")}')
+    """
 
     o["doc_assembly"] = """
         SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,

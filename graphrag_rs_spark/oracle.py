@@ -42,6 +42,9 @@ class OracleResult:
     triples: set[tuple[str, str, str]] = field(default_factory=set)
     clusters: list[dict] = field(default_factory=list)
     node_stats: dict[str, dict] = field(default_factory=dict)
+    mentions: list[dict] = field(default_factory=list)   # per-mention rows
+    # (subj, pred, obj) -> sorted set of source chunk ids (post re-point)
+    triple_contexts: dict[tuple[str, str, str], set] = field(default_factory=dict)
 
 
 def assemble(rows: list[dict], separator: str = "\n") -> tuple[dict, dict]:
@@ -73,6 +76,7 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
     entities: dict[str, dict] = {}
     entity_order: list[str] = []  # first-appearance order (greedy seed order)
     triples_raw: list[tuple[str, str, str, str]] = []
+    result_mentions: list[dict] = []
 
     # deterministic scan order: sorted conv_id (the Spark side's replay order
     # key is (conv_id, chunk_idx, rank), so both sides share one defined order)
@@ -96,6 +100,19 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
                 chunk_text, config.all_entity_types, config.min_confidence
             )
             for e in ents:
+                for (m_start, m_end) in e.mentions:
+                    result_mentions.append(
+                        {
+                            "chunk_id": chunk_id,
+                            "conv_id": conv_id,
+                            "entity_id": e.entity_id,
+                            "name": e.name,
+                            "entity_type": e.entity_type,
+                            "start": m_start,
+                            "end": m_end,
+                            "confidence": e.confidence,
+                        }
+                    )
                 cur = entities.get(e.entity_id)
                 if cur is None:
                     entities[e.entity_id] = {
@@ -104,6 +121,7 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
                         "entity_type": e.entity_type,
                         "confidence": e.confidence,
                         "mention_count": len(e.mentions),
+                        "aliases": {e.name},
                     }
                     entity_order.append(e.entity_id)
                 else:
@@ -113,11 +131,13 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
                         cur["name"] = e.name
                     cur["confidence"] = max(cur["confidence"], e.confidence)
                     cur["mention_count"] += len(e.mentions)
+                    cur["aliases"].add(e.name)
             if config.extract_relationships:
                 for subj, obj, pred in extract_relationships(ents, chunk_text):
                     triples_raw.append((subj, obj, pred, chunk_id))
 
     result = OracleResult(docs, offsets, chunks, entities, triples_raw)
+    result.mentions = result_mentions
 
     # --- greedy clustering (string_similarity_linker.rs:68-127) ----------
     order = entity_order
@@ -165,13 +185,16 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
 
     # --- re-point + dedupe triples (gleaning_extractor.rs:418-435) -------
     final: set[tuple[str, str, str]] = set()
-    for subj, obj, pred, _chunk in triples_raw:
+    contexts: dict[tuple[str, str, str], set] = defaultdict(set)
+    for subj, obj, pred, chunk_id in triples_raw:
         s = links.get(subj, subj)
         o = links.get(obj, obj)
         if s == o:
             continue  # merged endpoints → self-loop → drop (both sides)
         final.add((s, pred, o))
+        contexts[(s, pred, o)].add(chunk_id)
     result.triples = final
+    result.triple_contexts = dict(contexts)
 
     # --- node stats: degree + CC communities ------------------------------
     degree: dict[str, int] = defaultdict(int)
@@ -204,6 +227,129 @@ def run_oracle(rows: list[dict], config: PipelineConfig | None = None) -> Oracle
                 "community_size": len(comp),
             }
     return result
+
+
+def _f32(x: float) -> float:
+    """Round-trip through float32 — the Spark extraction schema stores
+    confidences as FloatType, so the dump must quantize identically for the
+    driver's exact value-hash compare (float32→float64 upcast is exact)."""
+    import numpy as np
+
+    return float(np.float32(x))
+
+
+def stage_tables(result: OracleResult, config: PipelineConfig | None = None) -> dict[str, list[dict]]:
+    """Render the oracle result as the driver-checkable stage tables.
+
+    Column names, types, and array-to-string canonicalization ("|"-joined
+    sorted distinct) match the ``queries()`` projections in
+    ``__spark_entry__.py`` exactly; the driver compares the Spark pipeline
+    against a parquet dump of these rows via DuckDB. This is an
+    independent single-process implementation of the same reference
+    semantics (see module docstring), so the compare is a genuine
+    distributed-vs-oracle equivalence check.
+    """
+    config = config or PipelineConfig()
+
+    chunks = [
+        {
+            "conv_id": c["conv_id"],
+            "doc_id": c["conv_id"],
+            "chunk_idx": int(c["chunk_id"].rsplit("_", 1)[1]),
+            "chunk_id": c["chunk_id"],
+            "text": c["text"],
+            "start": c["start"],
+            "end": c["end"],
+        }
+        for c in result.chunks
+    ]
+
+    mentions = [
+        {**m, "confidence": _f32(m["confidence"])} for m in result.mentions
+    ]
+
+    entities_raw = [
+        {
+            "entity_id": e["entity_id"],
+            "name": e["name"],
+            "entity_type": e["entity_type"],
+            "confidence": _f32(e["confidence"]),
+            "mention_count": int(e["mention_count"]),
+            "aliases": "|".join(sorted(e["aliases"])),
+        }
+        for e in result.entities.values()
+    ]
+
+    links = result.links
+    ents = result.entities
+    members_of: dict[str, list[str]] = defaultdict(list)
+    for eid in ents:
+        members_of[links.get(eid, eid)].append(eid)
+
+    clusters = []
+    for canonical, members in members_of.items():
+        cluster_conf = _f32(max(ents[m]["confidence"] for m in members))
+        for m in members:
+            clusters.append(
+                {
+                    "entity_id": m,
+                    "cluster_id": canonical,
+                    "canonical_name": ents[canonical]["name"],
+                    "entity_type": ents[m]["entity_type"],
+                    "confidence": _f32(ents[m]["confidence"]),
+                    "cluster_confidence": cluster_conf,
+                    "member_count": len(members),
+                }
+            )
+
+    nodes = []
+    for canonical, members in members_of.items():
+        aliases: set[str] = set()
+        for m in members:
+            aliases |= ents[m]["aliases"]
+        nodes.append(
+            {
+                "cluster_id": canonical,
+                "name": ents[canonical]["name"],
+                "entity_type": ents[canonical]["entity_type"],
+                "confidence": _f32(max(ents[m]["confidence"] for m in members)),
+                "mention_count": int(sum(ents[m]["mention_count"] for m in members)),
+                "member_count": len(members),
+                "aliases": "|".join(sorted(aliases)),
+            }
+        )
+
+    rel_conf = _f32(config.relationship_confidence)
+    edges = [
+        {
+            "subj": s,
+            "pred": p,
+            "obj": o,
+            "confidence": rel_conf,
+            "context": "|".join(sorted(result.triple_contexts[(s, p, o)])),
+        }
+        for (s, p, o) in result.triples
+    ]
+
+    node_stats = [
+        {
+            "cluster_id": nid,
+            "degree": int(st["degree"]),
+            "community_id": st["community_id"],
+            "community_size": int(st["community_size"]),
+        }
+        for nid, st in result.node_stats.items()
+    ]
+
+    return {
+        "kg_chunks": chunks,
+        "kg_mentions": mentions,
+        "kg_entities_raw": entities_raw,
+        "kg_clusters": clusters,
+        "kg_nodes": nodes,
+        "kg_edges": edges,
+        "kg_node_stats": node_stats,
+    }
 
 
 def precision_recall(
