@@ -132,6 +132,61 @@ def rrf_fuse(ranked: DataFrame, k: int = 60) -> DataFrame:
     )
 
 
+def hybrid_search(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_each: int = 20,
+    rrf_k: int = 60,
+    top_n: int = 10,
+    dim: int = 32,
+) -> DataFrame:
+    """One-call hybrid retrieval (graphrag-rs retrieval/hybrid.rs:168;
+    fusion formula HOW_IT_WORKS.md:870-886): BM25 top-``k_each`` and
+    hash-embedding cosine top-``k_each`` fused with RRF (k=``rrf_k``),
+    returning the top ``top_n`` (item_id, rrf_score, n_lists).
+
+    Distributed shape: both branches are narrow scans over the same doc
+    table (BM25's postings shuffle + the embedding UDF); the query vector
+    is a driver-computed literal (one embed call, no collect of data
+    rows); fusion is a two-list union + groupBy.
+    """
+    from graphrag_rs_spark.functions import cosine_similarity_col
+    from graphrag_rs_spark.functions.embeddings import add_embeddings, embed_text
+
+    bm = bm25_scores(docs, query, id_col=id_col, text_col=text_col, limit=k_each)
+    w_bm = Window.orderBy(F.desc("score"), F.asc(id_col))
+    bm_ranked = bm.select(
+        F.lit("bm25").alias("list_id"),
+        F.col(id_col).alias("item_id"),
+        F.row_number().over(w_bm).alias("rank"),
+    )
+
+    qvec = [float(x) for x in embed_text(query, dim)]
+    embedded = add_embeddings(docs, text_col=text_col, dim=dim)
+    scored = embedded.select(
+        F.col(id_col),
+        cosine_similarity_col(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(x) for x in qvec]),
+        ).alias("cosine"),
+    )
+    w_knn = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    knn_ranked = (
+        scored.withColumn("rank", F.row_number().over(w_knn))
+        .where(F.col("rank") <= k_each)
+        .select(
+            F.lit("vector").alias("list_id"),
+            F.col(id_col).alias("item_id"),
+            "rank",
+        )
+    )
+
+    fused = rrf_fuse(bm_ranked.unionByName(knn_ranked), k=rrf_k)
+    return fused.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(top_n)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj",
@@ -140,13 +195,18 @@ def pagerank(
     max_iter: int = 20,
     tol: float = 1.0e-6,
     personalization: DataFrame | None = None,
+    check_every: int = 5,
 ) -> DataFrame:
     """(Personalized) PageRank by power iteration (graph/pagerank.rs:182-300
     semantics: damping 0.85, tol 1e-6, uniform-or-seeded teleport, dangling
     mass redistributed via the teleport vector).
 
-    Iterative DataFrame joins; each iteration localCheckpoints to cut the
-    lineage chain — the standard Spark shape for iterative graph algorithms.
+    Iterative DataFrame joins; ONE Spark action per iteration: the dangling
+    node set is precomputed once, the dangling-mass scalar rides along as a
+    1-row DataFrame cross-join (never collected), and the convergence delta
+    is checked only every ``check_every`` iterations — per-job scheduling
+    latency, not compute, dominates iterative graph algorithms on all but
+    the largest graphs.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
@@ -170,45 +230,58 @@ def pagerank(
         )
     else:
         teleport = nodes.withColumn("tp", F.lit(1.0 / n))
-    teleport = teleport.localCheckpoint(eager=True)
+    # precompute the dangling flag once; it never changes across iterations
+    teleport = teleport.join(
+        out_deg.select(F.col("u").alias("id"), F.lit(False).alias("_nd")),
+        "id",
+        "left",
+    ).select(
+        "id", "tp", F.coalesce("_nd", F.lit(True)).alias("dangling")
+    ).localCheckpoint(eager=True)
 
     ranks = teleport.select("id", F.col("tp").alias("rank"))
     edges_d = e.join(out_deg, "u").localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contribs = (
             edges_d.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
             .select(F.col("v").alias("id"), (F.col("rank") / F.col("outd")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (no out-edges) donate their rank through teleport
-        dangling = (
-            ranks.join(out_deg.select(F.col("u").alias("id")), "id", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass as a lazy 1-row DataFrame — folded in via
+        # crossJoin, so the iteration stays a single job
+        dmass = (
+            teleport.where("dangling")
+            .join(ranks, "id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
         )
         new_ranks = (
             teleport.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping) * F.col("tp")
                     + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling) * F.col("tp"))
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("_dmass") * F.col("tp")
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.join(ranks.select("id", F.col("rank").alias("prev")), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-            .collect()[0][0]
-        )
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            delta = (
+                new_ranks.join(ranks.select("id", F.col("rank").alias("prev")), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
     return ranks
 
 
@@ -369,10 +442,14 @@ def keywords_tf(
 def tfidf_tokens_col(text: Column) -> Column:
     """The TF-IDF tokenizer (text/keyword_extraction.rs:68-85): keep
     alphanumerics plus ``-``/``_`` within each whitespace word, lowercase;
-    drop empties, len <= 2, stopwords, pure numbers. Pure JVM expressions."""
+    drop empties, len <= 2, stopwords, pure numbers. Pure JVM expressions.
+
+    The reference keeps UNICODE alphanumerics (``char::is_alphanumeric``),
+    so the strip class is ``\\p{L}\\p{N}`` — an ASCII-only class would
+    garble accented/non-Latin words."""
     toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
     cleaned = F.transform(
-        toks, lambda t: F.lower(F.regexp_replace(t, r"[^a-zA-Z0-9\-_]", ""))
+        toks, lambda t: F.lower(F.regexp_replace(t, r"[^\p{L}\p{N}\-_]", ""))
     )
     return F.filter(
         cleaned,

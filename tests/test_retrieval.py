@@ -172,3 +172,34 @@ def test_semantic_edges_respects_max_connections(spark):
         per_src.setdefault(r["src"], []).append(r["dst"])
     assert all(len(v) <= 3 for v in per_src.values())
     assert len(per_src) == 8
+
+
+def test_hybrid_search_fuses_bm25_and_vector(spark):
+    """hybrid_search (retrieval/hybrid.rs:168): a doc matching the query
+    terms must rank in the fused top list; docs in both lists carry
+    n_lists=2; scores follow the RRF formula for the observed ranks."""
+    from graphrag_rs_spark.operators.retrieval import hybrid_search
+
+    rows = [
+        (0, "spark table scan merge window join shuffle"),
+        (1, "spark window merge"),
+        (2, "completely unrelated prose about gardening and weather"),
+        (3, "table scan with predicate pushdown in spark"),
+        (4, "window functions and merge strategies for big table scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = hybrid_search(
+        docs, "spark table scan merge window", k_each=5, top_n=5
+    ).collect()
+    assert got, "hybrid search returned nothing"
+    by_id = {r["item_id"]: r for r in got}
+    # doc 0 contains every query term -> must be fused in
+    assert 0 in by_id
+    assert all(1 <= r["n_lists"] <= 2 for r in got)
+    # rrf_score bounded by n_lists / (k + 1)
+    assert all(r["rrf_score"] <= r["n_lists"] / 61.0 + 1e-12 for r in got)
+    # deterministic: re-run yields identical rows
+    again = hybrid_search(
+        docs, "spark table scan merge window", k_each=5, top_n=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
