@@ -86,7 +86,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     strategy: str = "auto",
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 50_000,
 ) -> DataFrame:
     """Edge list → (id string, component string) where component is the
     minimum string member id of each connected component.
@@ -96,9 +96,10 @@ def connected_components(
     ``local_threshold``) for small edge sets — iterative large-star /
     small-star costs ~2 shuffles × O(log² n) rounds of fixed job overhead,
     which dwarfs tiny inputs — or ``distributed`` above the threshold.
-    Candidate-pair graphs (name-variant families) are sparse, so even
-    billion-entity runs usually produce modest edge sets per partition of
-    the blocking space; the threshold guards the driver regardless.
+    The threshold is deliberately small (50k edges ≈ a few MB collected,
+    sub-second union-find): past that the distributed path's fixed round
+    cost is amortized and a driver collect is pure risk (memory spike +
+    single-threaded stall at the worst moment).
 
     Deterministic: both paths map components to the MINIMUM STRING id so
     callers see identical, stable representatives.

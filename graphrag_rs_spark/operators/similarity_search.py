@@ -73,6 +73,14 @@ def sign_buckets_udf(planes_tables: list[list[list[float]]]):
 
     n_tables = len(planes_tables)
     n_planes = len(planes_tables[0])
+    # the sign code occupies bits [0, n_planes) and the table index is
+    # folded in at bit 48 — with n_planes >= 48 they would overlap and
+    # silently merge buckets across tables
+    if n_planes > 47:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds 47: sign bits would collide with "
+            "the table-index bits at 48+"
+        )
     flat = np.asarray(
         [p for table in planes_tables for p in table], dtype=np.float64
     )  # (T*P, dim)
@@ -272,4 +280,10 @@ def ivf_knn(
         cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # the corpus cache only serves the multi-pass IVF build; materialize
+    # the (small) result now and release it so long-lived callers
+    # (streaming micro-batches) don't accumulate cached plans
+    out = out.localCheckpoint(eager=True)
+    vectors.unpersist()
+    return out
