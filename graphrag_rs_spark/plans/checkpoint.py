@@ -31,7 +31,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LINEAGE_SCHEMA = "stage string, partition_id int, row_count long, checksum long"
+LINEAGE_SCHEMA = "stage string, partition_id string, row_count long, checksum long"
 
 
 def _fingerprint(*parts: str) -> str:
@@ -163,10 +163,20 @@ class CheckpointManager:
 
     # -- internals -------------------------------------------------------
     def _lineage_for(self, stage: str, df: DataFrame) -> DataFrame:
+        """One lineage row per DATA FILE of the written snapshot.
+
+        Keyed on ``input_file_name()`` (basename), not
+        ``spark_partition_id()``: scan-partition packing depends on session
+        config (``spark.sql.files.maxPartitionBytes``, parallelism), so a
+        validating session configured differently from the writer would see
+        different partition ids for an intact snapshot. The data file is
+        the session-independent unit — it IS the write partition.
+        """
         cols = [F.col(c).cast("string") for c in df.columns]
+        file_id = F.element_at(F.split(F.input_file_name(), "/"), -1)
         return (
             df.select(
-                F.spark_partition_id().alias("partition_id"),
+                file_id.alias("partition_id"),
                 F.xxhash64(*cols).alias("row_hash"),
             )
             .groupBy("partition_id")

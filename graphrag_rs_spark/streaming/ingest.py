@@ -83,7 +83,32 @@ def merge_entities_raw(old: DataFrame, new: DataFrame) -> DataFrame:
 
 class IncrementalGraphSink:
     """foreachBatch sink: extraction on the delta only; canonicalization +
-    materialization re-run over the merged raw tables."""
+    materialization re-run over the merged raw tables.
+
+    **Exactly-once under at-least-once delivery.** foreachBatch replays a
+    batch if the stream crashes between the sink's writes and the streaming
+    checkpoint commit. Two mechanisms make the replay harmless:
+
+    * all five tables of a batch are written into ONE versioned directory
+      (``_v{batch_id}``) and published by atomically replacing the
+      ``CURRENT`` pointer file (``os.replace``) — a crash mid-write leaves
+      the previous version fully intact and internally consistent (no
+      partially-swapped raw/derived mix);
+    * ``process_batch`` consults ``CURRENT`` first and SKIPS any batch id
+      it has already published, so a replayed batch cannot double-merge
+      mention counts / occurrence sums.
+
+    This is the parquet-workspace analogue of an Iceberg snapshot commit
+    (single atomic metadata pointer flip); at cluster scale the same call
+    sites become ``MERGE INTO`` + snapshot commit.
+
+    For convenience (and test/backward compatibility) the published tables
+    are also exposed at stable top-level paths via symlinks to the current
+    version directory, refreshed after each pointer flip.
+    """
+
+    TABLES = ("entities", "relationships", "node_stats", "entities_raw",
+              "edges_raw")
 
     def __init__(
         self,
@@ -97,24 +122,52 @@ class IncrementalGraphSink:
     def _path(self, name: str) -> str:
         return os.path.join(self.workspace_dir, name)
 
-    def _read_existing(self, spark: SparkSession, name: str) -> DataFrame | None:
+    def _current_batch_id(self) -> int | None:
         try:
-            return spark.read.parquet(self._path(name))
-        except Exception:
+            with open(self._path("CURRENT")) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
             return None
 
-    def _swap_in(self, name: str, df: DataFrame, batch_id: int) -> None:
+    def _version_dir(self, batch_id: int) -> str:
+        return self._path(f"_v{batch_id}")
+
+    def _read_existing(self, spark: SparkSession, name: str) -> DataFrame | None:
+        bid = self._current_batch_id()
+        if bid is None:
+            return None
+        path = os.path.join(self._version_dir(bid), name)
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    def _publish(self, batch_id: int, tables: dict[str, DataFrame]) -> None:
+        """Write every table of the batch into one version directory, then
+        flip CURRENT atomically and refresh the stable symlinks."""
         import shutil
 
-        tmp = self._path(f"_tmp_{name}_{batch_id}")
-        df.write.mode("overwrite").parquet(tmp)
-        final = self._path(name)
-        bak = self._path(f"_bak_{name}_{batch_id}")
-        if os.path.exists(final):
-            os.rename(final, bak)
-        os.rename(tmp, final)
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
+        vdir = self._version_dir(batch_id)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)  # leftover from a crashed attempt
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(vdir, name))
+
+        prev_bid = self._current_batch_id()
+        tmp_ptr = self._path("_CURRENT_tmp")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_ptr, self._path("CURRENT"))  # the atomic commit
+
+        for name in tables:
+            link = self._path(name)
+            tmp_link = self._path(f"_lnk_{name}")
+            if os.path.lexists(tmp_link):
+                os.remove(tmp_link)
+            os.symlink(os.path.join(vdir, name), tmp_link)
+            os.replace(tmp_link, link)
+
+        if prev_bid is not None and prev_bid != batch_id:
+            shutil.rmtree(self._version_dir(prev_bid), ignore_errors=True)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from graphrag_rs_spark.operators.assembly import assemble_documents
@@ -127,6 +180,9 @@ class IncrementalGraphSink:
         )
         from graphrag_rs_spark.operators.materialize import materialize_graph
 
+        applied = self._current_batch_id()
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-published batch
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -142,8 +198,8 @@ class IncrementalGraphSink:
 
         old_entities = self._read_existing(spark, "entities_raw")
         old_edges_raw = self._read_existing(spark, "edges_raw")
-        # eager localCheckpoint cuts lineage from the CURRENT workspace
-        # files — the directory swap below must not invalidate any plan
+        # eager localCheckpoint cuts lineage from the current version's
+        # files — publishing the next version must not invalidate any plan
         # that still reads them
         entities_raw = (
             merge_entities_raw(old_entities, new_entities)
@@ -163,15 +219,23 @@ class IncrementalGraphSink:
             cache_intermediate=True,
         )
 
-        # derived tables first (their plans may still scan the old raw
-        # files through the checkpoint boundary), then the raw tables
-        self._swap_in("entities", nodes, batch_id)
-        self._swap_in("relationships", edges, batch_id)
-        self._swap_in("node_stats", node_stats, batch_id)
-        self._swap_in("entities_raw", entities_raw, batch_id)
-        self._swap_in("edges_raw", edges_raw, batch_id)
+        self._publish(
+            batch_id,
+            {
+                "entities": nodes,
+                "relationships": edges,
+                "node_stats": node_stats,
+                "entities_raw": entities_raw,
+                "edges_raw": edges_raw,
+            },
+        )
         extraction.unpersist()
         clusters.unpersist()
+        # materialize_graph cached nodes/edges internally
+        # (cache_intermediate=True); release them so cached plans don't
+        # accumulate across micro-batches in a long-running stream
+        nodes.unpersist()
+        edges.unpersist()
 
 
 def run_incremental_ingest(

@@ -59,3 +59,38 @@ def test_incremental_ingest_matches_union(spark, tmp_path):
         for r in full["edges"].select("subj", "pred", "obj").collect()
     }
     assert inc_triples == full_triples
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """At-least-once delivery: re-processing an already-published batch_id
+    must be a no-op (no double-merged mention counts), and the workspace
+    must stay internally consistent (single atomic CURRENT flip)."""
+    from graphrag_rs_spark.streaming.ingest import IncrementalGraphSink
+
+    cfg = PipelineConfig()
+    sink = IncrementalGraphSink(str(tmp_path / "ws"), cfg)
+    batch = transcripts_df(spark, 5, seed=7)
+
+    sink.process_batch(batch, batch_id=0)
+    first = {
+        r["entity_id"]: r["mention_count"]
+        for r in spark.read.parquet(str(tmp_path / "ws" / "entities_raw")).collect()
+    }
+    assert first
+
+    # crash-replay of the same batch id: must be skipped entirely
+    sink.process_batch(batch, batch_id=0)
+    replayed = {
+        r["entity_id"]: r["mention_count"]
+        for r in spark.read.parquet(str(tmp_path / "ws" / "entities_raw")).collect()
+    }
+    assert replayed == first, "replay double-merged the batch"
+
+    # a genuinely new batch advances CURRENT and merges
+    nxt = transcripts_df(spark, 5, seed=11).withColumn(
+        "conv_id", F.concat(F.lit("y"), F.col("conv_id"))
+    )
+    sink.process_batch(nxt, batch_id=1)
+    assert sink._current_batch_id() == 1
+    merged = spark.read.parquet(str(tmp_path / "ws" / "entities_raw"))
+    assert merged.count() >= len(first)
