@@ -51,6 +51,7 @@ from graphrag_rs_spark.operators.retrieval import (
     BM25_STOPWORDS,
     KEYWORD_STOPWORDS,
     bm25_scores,
+    hybrid_search,
     keywords_tf,
     pagerank,
     rrf_fuse,
@@ -226,7 +227,10 @@ _DUMP_DONE: set[str] = set()
 
 def _ensure_oracle_dump(sf_dir: str) -> str:
     """Write the Python-oracle stage tables for ``sf_dir``'s fixture size
-    (idempotent, memoized); returns the dump directory."""
+    (idempotent, memoized); returns the dump directory. Only the driver's
+    correctness scale (sf0.01) is dumped — the oracle SQL reads no other
+    path, and bench runs at other scales shouldn't pay the O(n²) greedy
+    oracle."""
     import pandas as pd
 
     from graphrag_rs_spark.fixtures import generate_transcripts
@@ -234,7 +238,7 @@ def _ensure_oracle_dump(sf_dir: str) -> str:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(ORACLE_DUMP_ROOT, base)
-    if out_dir in _DUMP_DONE:
+    if out_dir in _DUMP_DONE or base != "sf0.01":
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     sf = _sf_of(sf_dir)
@@ -246,6 +250,40 @@ def _ensure_oracle_dump(sf_dir: str) -> str:
             os.path.join(out_dir, f"{name}.parquet"), index=False
         )
     _DUMP_DONE.add(out_dir)
+    return out_dir
+
+
+_HYBRID_QUERY = "spark table scan merge window"
+
+
+def _ensure_twin_dump(sf_dir: str) -> str:
+    """Write the single-process twin outputs (graphrag_rs_spark/oracle_twins)
+    for the queries whose semantics DuckDB SQL cannot express directly
+    (hash-based signatures, iterative graph algorithms, extractive
+    summaries). Same memoization/scale gate as :func:`_ensure_oracle_dump`."""
+    from graphrag_rs_spark import oracle_twins as tw
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(ORACLE_DUMP_ROOT, base)
+    key = out_dir + "/twins"
+    if key in _DUMP_DONE or base != "sf0.01":
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    sf = _sf_of(sf_dir)
+    n_convs = max(30, int(3000 * sf))
+    dumps = {
+        "dedup_simhash": tw.simhash_md5(sf_dir),
+        "pagerank_nation_chain": tw.pagerank_nation_chain(sf_dir, max_iter=30),
+        "label_propagation": tw.label_propagation_band(sf_dir),
+        "custom_ner": tw.custom_ner(sf_dir, _NER_RULES),
+        "semantic_chunks": tw.semantic_chunks(n_convs),
+        "hash_embeddings": tw.hash_embeddings(sf_dir),
+        "summary_tree": tw.summary_tree(sf_dir),
+        "hybrid_search": tw.hybrid_search(sf_dir, _HYBRID_QUERY),
+    }
+    for name, pdf in dumps.items():
+        pdf.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+    _DUMP_DONE.add(key)
     return out_dir
 
 
@@ -412,27 +450,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = dedup_ngram
 
     def dedup_minhash(spark, sf_dir):
+        """Recall-shaped check: emit every EXACT word-5-gram Jaccard ≥ 0.7
+        pair (DuckDB recomputes those from scratch) plus a per-pair flag
+        that the MinHash-LSH candidate generator recovered it with
+        est_jaccard ≥ 0.6 — banding theory puts that recall at ~0.9998 for
+        j ≥ 0.7 with 32 bands × 4 rows, so the oracle pins TRUE."""
         docs = _read(spark, sf_dir, "documents")
-        pairs = minhash_lsh_dedup(
-            docs, "text", "doc_id", num_hashes=128, bands=32, jaccard_threshold=0.7
+        exact = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.7, num_hashes=128,
+            bands=64,
         )
-        return pairs.select(
-            F.col("id1").cast("long").alias("id1"),
-            F.col("id2").cast("long").alias("id2"),
-            F.col("est_jaccard").alias("est_jaccard"),
+        est = minhash_lsh_dedup(
+            docs, "text", "doc_id", num_hashes=128, bands=32, shingle=5,
+            jaccard_threshold=0.6,
+        ).select("id1", "id2", F.lit(True).alias("lsh_found"))
+        return (
+            exact.join(est, ["id1", "id2"], "left")
+            .select(
+                F.col("id1").cast("long").alias("id1"),
+                F.col("id2").cast("long").alias("id2"),
+                F.round("jaccard", 6).alias("jaccard"),
+                F.coalesce("lsh_found", F.lit(False)).alias("lsh_found"),
+            )
         )
 
     q["dedup_minhash_lsh"] = dedup_minhash
 
     def dedup_simhash(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         docs = _read(spark, sf_dir, "documents")
-        return simhash_signatures(docs, "text", "doc_id")
+        return simhash_signatures(docs, "text", "doc_id", hash_fn="md5")
 
     q["dedup_simhash"] = dedup_simhash
 
     def dedup_embedding(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings")
-        return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.95)
+        """Near-dup pairs over the embeddings table augmented with scaled
+        copies (vec_id + 10000, 1.5×vector — same direction, cosine 1) so
+        the check has planted positives; DuckDB derives the identical
+        augmented table and runs the exact all-pairs filter."""
+        emb = _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        dup = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        )
+        pairs = embedding_near_dup(
+            emb.unionByName(dup), "embedding", "vec_id", threshold=0.99
+        )
+        return pairs.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.round("cosine", 6).alias("cosine"),
+        )
 
     q["dedup_embedding_cosine"] = dedup_embedding
 
@@ -498,23 +568,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_bruteforce"] = knn_exact
 
-    def knn_lsh_q(spark, sf_dir):
+    def _knn_recall_shape(spark, sf_dir, approx_fn, bound):
+        """Recall-shaped approximate-KNN check: the rows are the EXACT
+        brute-force top-k (which DuckDB recomputes from scratch) plus one
+        constant flag asserting the approximate operator's per-query recall
+        vs that exact top-k clears ``bound`` — the oracle pins TRUE."""
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        r = lsh_knn(emb, qs, k=10)
-        return r.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+        exact = brute_force_knn(emb, qs, k=10)
+        approx = approx_fn(emb, qs, k=10)
+        hits = exact.join(
+            approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_semi",
+        )
+        ok = (
+            hits.groupBy("query_id")
+            .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
+            .agg(F.min("recall").alias("mr"))
+            .select((F.col("mr") >= F.lit(bound)).alias("recall_ok"))
+        )
+        return exact.crossJoin(F.broadcast(ok)).select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "recall_ok",
+        )
+
+    # Uniform-random embeddings are LSH's adversarial case (top-10 cosine
+    # ≈ 0.35 ⇒ per-plane agreement only ≈ 0.61), so the driver entries use
+    # wider probes than the defaults; measured per-query recall under the
+    # fixed seed is ≥ 0.7 for both — the 0.5 bound leaves margin.
+    def knn_lsh_q(spark, sf_dir):
+        def approx(emb, qs, k):
+            return lsh_knn(emb, qs, k=k, n_planes=3, n_tables=8)
+
+        return _knn_recall_shape(spark, sf_dir, approx, bound=0.5)
 
     q["knn_lsh"] = knn_lsh_q
 
     def knn_ivf_q(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings")
-        qs = emb.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        r = ivf_knn(emb, qs, k=10)
-        return r.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+        def approx(emb, qs, k):
+            return ivf_knn(emb, qs, k=k, n_probe=8)
+
+        return _knn_recall_shape(spark, sf_dir, approx, bound=0.5)
 
     q["knn_ivf"] = knn_ivf_q
 
@@ -604,24 +702,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_edges_exact"] = semantic_edges_exact
 
     def semantic_edges_lsh(spark, sf_dir):
+        """Recall-shaped: rows are the EXACT semantic edges (DuckDB
+        recomputes them all-pairs); the flag asserts the LSH path recovered
+        every one of them (deterministic under the fixed seed)."""
         emb = _read(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        r = semantic_similarity_edges(
+        exact = semantic_similarity_edges(
+            emb, id_col="vec_id", threshold=0.5, max_connections=5,
+            method="exact",
+        )
+        lsh = semantic_similarity_edges(
             emb, id_col="vec_id", threshold=0.5, max_connections=5,
             method="lsh", n_planes=6, n_tables=6,
+        ).select("src", "dst", F.lit(True).alias("found"))
+        flagged = exact.join(lsh, ["src", "dst"], "left")
+        ok = flagged.agg(
+            F.min(F.coalesce("found", F.lit(False))).alias("recall_ok")
         )
-        return r.select("src", "pred", "dst", F.round("similarity", 9).alias("similarity"))
+        return flagged.crossJoin(F.broadcast(ok)).select(
+            F.col("src").cast("long").alias("src"),
+            "pred",
+            F.col("dst").cast("long").alias("dst"),
+            F.round("similarity", 9).alias("similarity"),
+            "recall_ok",
+        )
 
     q["semantic_edges_lsh"] = semantic_edges_lsh
 
     def pagerank_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         ranks = pagerank(
             _nation_chain_edges(spark, sf_dir), src="src", dst="dst", max_iter=30
         )
         return ranks.select("id", F.round("rank", 9).alias("rank"))
 
     q["pagerank_nation_chain"] = pagerank_q
+
+    # ---- hybrid retrieval (retrieval/hybrid.rs:168): BM25 + vector + RRF -
+    def hybrid_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
+        docs = _read(spark, sf_dir, "documents")
+        r = hybrid_search(docs, _HYBRID_QUERY, id_col="doc_id", text_col="text")
+        return r.select(
+            F.col("item_id").cast("long").alias("item_id"),
+            F.round("rrf_score", 9).alias("rrf_score"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+        )
+
+    q["hybrid_search"] = hybrid_q
 
     # ---- concept graph (lightrag/concept_graph.rs) ----
     # driver documents are all-lowercase; apply the same deterministic
@@ -714,9 +843,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["communities_modularity"] = communities_q
 
     def lpa_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         return label_propagation(_nation_band_edges(spark, sf_dir))
 
     q["label_propagation"] = lpa_q
+
+    # ---- Leiden communities (graph/leiden.rs:469-540) on the band graph -
+    def leiden_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.leiden import leiden_communities
+
+        _ensure_twin_dump(sf_dir)
+        out = leiden_communities(_nation_band_edges(spark, sf_dir))
+        return out.select(
+            "id", "community_id",
+            F.col("community_size").cast("long").alias("community_size"),
+        )
+
+    q["leiden_communities"] = leiden_q
+
+    # ---- size-gated exact centralities (analytics.rs:219-344) ----------
+    # betweenness on the CHAIN graph: unique shortest paths make the count
+    # closed-form (node at offset i of an s-chain sits on 2·i·(s−1−i)
+    # ordered pairs), SQL-checkable without replicating Dijkstra.
+    def betweenness_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.centrality import betweenness_centrality
+
+        b = betweenness_centrality(_nation_chain_edges(spark, sf_dir))
+        return b.select("id", F.round("betweenness", 9).alias("betweenness"))
+
+    q["betweenness_chain"] = betweenness_q
+
+    # closeness on the BAND graph: pairwise distance is ceil(|Δrank|/2)
+    # within a region — closed-form in SQL.
+    def closeness_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.centrality import closeness_centrality
+
+        c = closeness_centrality(_nation_band_edges(spark, sf_dir))
+        return c.select("id", F.round("closeness", 9).alias("closeness"))
+
+    q["closeness_band"] = closeness_q
+
+    # Dijkstra along region 0's chain: min → max nation of the region
+    # (analytics.rs:281-344); steps/distances are closed-form in SQL.
+    def shortest_path_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.centrality import shortest_path
+
+        n = _read(spark, sf_dir, "nation")
+        bounds = n.where(F.col("n_regionkey") == 0).agg(
+            F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")
+        ).collect()[0]
+        sp = shortest_path(
+            _nation_chain_edges(spark, sf_dir),
+            f"n{bounds['lo']}", f"n{bounds['hi']}",
+        )
+        return sp.select(
+            F.col("step").cast("long").alias("step"), "id",
+            F.round("distance", 9).alias("distance"),
+        )
+
+    q["shortest_path_chain"] = shortest_path_q
 
     # ---- traversal (graph/traversal.rs) ----
     def khop_q(spark, sf_dir):
@@ -746,19 +931,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_doc_exact"] = cross_doc_q
 
-    # ---- custom NER over documents (rows-only; pytest pins rule parity) ----
+    # ---- custom NER over documents (twin-dump oracle; pytest pins rule
+    # parity against reference vectors) ----
     def ner_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         docs = _read(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("chunk_id"), "text"
         )
-        return extract_with_rules(docs, _NER_RULES)
+        r = extract_with_rules(docs, _NER_RULES)
+        return r.select(
+            "chunk_id", "text", "entity_type",
+            F.col("start").cast("long").alias("start"),
+            F.col("end").cast("long").alias("end"),
+            F.col("confidence").cast("double").alias("confidence"),
+            "rule_name",
+        )
 
     q["custom_ner"] = ner_q
 
-    # ---- hierarchical summarization (rows-only; pytest pins extractive
-    # scorer) — documents grouped into 64 pseudo-corpora so trees have
-    # real depth ----
+    # ---- hierarchical summarization (twin-dump oracle) — documents
+    # grouped into 64 pseudo-corpora so trees have real depth ----
     def summary_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         docs = _read(spark, sf_dir, "documents").select(
             F.concat(F.lit("g"), (F.col("doc_id") % 64).cast("string")).alias(
                 "doc_id"
@@ -769,28 +963,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         tree = build_summary_tree(docs, merge_size=5)
         return tree.select(
-            "doc_id", "level", "node_idx", "node_id", "summary",
+            "doc_id",
+            F.col("level").cast("long").alias("level"),
+            F.col("node_idx").cast("long").alias("node_idx"),
+            "node_id",
+            "summary",
         )
 
     q["summary_tree"] = summary_q
 
-    # ---- semantic chunking + hash embeddings (rows-only; deterministic) --
+    # ---- semantic chunking + hash embeddings (twin-dump oracles) --------
     def semantic_chunks_q(spark, sf_dir):
+        _ensure_twin_dump(sf_dir)
         docs = assemble_documents(_fixture_transcripts(spark, sf_dir))
         from graphrag_rs_spark.operators.chunking import semantic_chunk_documents
 
-        return semantic_chunk_documents(docs)
+        ch = semantic_chunk_documents(docs)
+        return ch.select(
+            "conv_id", "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_id", "text",
+            F.col("start_sentence").cast("long").alias("start_sentence"),
+            F.col("end_sentence").cast("long").alias("end_sentence"),
+            F.col("sentence_count").cast("long").alias("sentence_count"),
+        )
 
     q["semantic_chunks"] = semantic_chunks_q
 
     def hash_embed_q(spark, sf_dir):
         from graphrag_rs_spark.functions.embeddings import add_embeddings
 
-        docs = _read(spark, sf_dir, "documents").limit(200)
+        _ensure_twin_dump(sf_dir)
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
         out = add_embeddings(docs, text_col="text", dim=32)
         return out.select(
-            "doc_id",
-            F.size("embedding").alias("dim"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size("embedding").cast("long").alias("dim"),
             F.round(
                 F.aggregate(
                     F.col("embedding").cast("array<double>"),
@@ -827,13 +1035,47 @@ _LANG_LISTS = {
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    # KG stage oracles read the single-process Python oracle's parquet dump
-    # (see _ensure_oracle_dump) — write it now in case the driver evaluates
-    # the SQL before the matching Spark query.
+    # KG stage + twin oracles read the single-process oracle parquet dumps
+    # (see _ensure_oracle_dump / _ensure_twin_dump) — write them now in case
+    # the driver evaluates the SQL before the matching Spark query.
     _ensure_oracle_dump("/root/testdata/sf0.01")
+    _ensure_twin_dump("/root/testdata/sf0.01")
 
     def _dump(name: str) -> str:
         return os.path.join(_CORRECTNESS_DUMP, f"{name}.parquet")
+
+    # ---- twin-dump oracles (single-process reimplementations) ----
+    o["dedup_simhash"] = f"""
+        SELECT doc_id, simhash FROM read_parquet('{_dump("dedup_simhash")}')
+    """
+    o["pagerank_nation_chain"] = f"""
+        SELECT id, rank FROM read_parquet('{_dump("pagerank_nation_chain")}')
+    """
+    o["label_propagation"] = f"""
+        SELECT id, label FROM read_parquet('{_dump("label_propagation")}')
+    """
+    o["custom_ner"] = f"""
+        SELECT chunk_id, text, entity_type, "start", "end", confidence,
+               rule_name
+        FROM read_parquet('{_dump("custom_ner")}')
+    """
+    o["semantic_chunks"] = f"""
+        SELECT conv_id, doc_id, chunk_idx, chunk_id, text, start_sentence,
+               end_sentence, sentence_count
+        FROM read_parquet('{_dump("semantic_chunks")}')
+    """
+    o["hash_embeddings"] = f"""
+        SELECT doc_id, dim, sq_norm
+        FROM read_parquet('{_dump("hash_embeddings")}')
+    """
+    o["summary_tree"] = f"""
+        SELECT doc_id, level, node_idx, node_id, summary
+        FROM read_parquet('{_dump("summary_tree")}')
+    """
+    o["hybrid_search"] = f"""
+        SELECT item_id, rrf_score, n_lists
+        FROM read_parquet('{_dump("hybrid_search")}')
+    """
 
     o["kg_chunks"] = f"""
         SELECT conv_id, doc_id, chunk_idx, chunk_id, text, "start", "end"
@@ -1157,7 +1399,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  list_filter(
                    list_transform(string_split_regex(trim(text), '\\s+'),
-                     t -> lower(regexp_replace(t, '[^a-zA-Z0-9\\-_]', '', 'g'))),
+                     t -> lower(regexp_replace(t, '[^\\p{{L}}\\p{{N}}\\-_]', '', 'g'))),
                    t -> length(t) > 2
                         AND NOT list_contains([{tfidf_stop}], t)
                         AND NOT regexp_matches(t, '^[0-9]+$')) AS t
@@ -1261,6 +1503,71 @@ def oracle_sql() -> dict[str, str]:
         n_tot
     """
 
+    # --- Leiden on the band graph: local moving + refinement converges to
+    # one community per region (each region's band subgraph is dense and
+    # regions are disconnected); community id = min member STRING id —
+    # closed-form, pinned by the deterministic fixture + algorithm
+    o["leiden_communities"] = """
+        WITH c AS (
+          SELECT n_regionkey AS g,
+                 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 COUNT(*) OVER (PARTITION BY n_regionkey) AS s
+          FROM nation
+        )
+        SELECT id,
+               MIN(id) OVER (PARTITION BY g) AS community_id,
+               CAST(s AS BIGINT) AS community_size
+        FROM c WHERE s > 1
+    """
+
+    # --- size-gated exact centralities (closed-form on the fixture graphs)
+    # chain graph: unique shortest paths; interior node at offset i of an
+    # s-chain lies on 2·i·(s−1−i) ordered pairs; denominator (n−1)(n−2)/2
+    # over the nodes that appear in the edge list (regions with ≥2 nations)
+    o["betweenness_chain"] = """
+        WITH c AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY n_regionkey) AS s
+          FROM nation
+        ), f AS (SELECT * FROM c WHERE s > 1),
+        n_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)
+        SELECT id,
+               round(2.0 * i * (s - 1 - i)
+                     / ((n_tot.n - 1.0) * (n_tot.n - 2.0) / 2.0), 9)
+                 AS betweenness
+        FROM f, n_tot
+    """
+
+    # band graph: within a region, dist(rank a, rank b) = ceil(|a-b|/2)
+    o["closeness_band"] = """
+        WITH nn AS (
+          SELECT n_regionkey AS g,
+                 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS rk,
+                 COUNT(*) OVER (PARTITION BY n_regionkey) AS s
+          FROM nation
+        ), f AS (SELECT * FROM nn WHERE s > 1),
+        d AS (
+          SELECT a.id, CAST(ceil(abs(a.rk - b.rk) / 2.0) AS DOUBLE) AS dist
+          FROM f a JOIN f b ON a.g = b.g AND a.rk != b.rk
+        )
+        SELECT id,
+               round(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 9) AS closeness
+        FROM d GROUP BY id
+    """
+
+    o["shortest_path_chain"] = """
+        SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+                 AS step,
+               'n' || CAST(n_nationkey AS VARCHAR) AS id,
+               round(CAST(row_number() OVER (ORDER BY n_nationkey) - 1
+                     AS DOUBLE), 9) AS distance
+        FROM nation WHERE n_regionkey = 0
+    """
+
     # --- traversal: 2-hop BFS from n0 on the per-region chain ---
     o["k_hop_neighbors"] = """
         WITH c AS (
@@ -1310,6 +1617,79 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
         FROM s WHERE rank <= 10
+    """
+
+    # recall-shaped approximate-KNN checks: exact top-k recomputed here,
+    # recall_ok pinned TRUE (the Spark side computes the actual recall of
+    # the approximate operator vs its own exact baseline)
+    _KNN_EXACT_FLAG = """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                            e.vec_id) AS rank
+          FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+               TRUE AS recall_ok
+        FROM s WHERE rank <= 10
+    """
+    o["knn_lsh"] = _KNN_EXACT_FLAG
+    o["knn_ivf"] = _KNN_EXACT_FLAG
+
+    o["semantic_edges_lsh"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON a.vec_id != b.vec_id
+        ), f AS (
+          SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, dst) AS rn
+          FROM s WHERE sim > 0.5
+        )
+        SELECT src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
+               round(sim, 9) AS similarity, TRUE AS recall_ok
+        FROM f WHERE rn <= 5
+    """
+
+    o["dedup_embedding_cosine"] = """
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dup AS (
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(v, x -> x * 1.5) AS v
+          FROM base WHERE vec_id < 50
+        ), a AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        p AS (
+          SELECT x.vec_id AS id1, y.vec_id AS id2,
+                 list_cosine_similarity(x.v, y.v) AS cos
+          FROM a x JOIN a y ON x.vec_id < y.vec_id
+        )
+        SELECT id1, id2, round(cos, 6) AS cosine FROM p WHERE cos >= 0.99
+    """
+
+    o["dedup_minhash_lsh"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(0, greatest(len(t) - 5, 0)),
+                   i -> array_to_string(t[i+1:i+5], ' '))) AS g
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / greatest(len(list_distinct(a.g || b.g)), 1) AS jaccard
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        SELECT id1, id2, round(jaccard, 6) AS jaccard, TRUE AS lsh_found
+        FROM pairs WHERE jaccard >= 0.7
     """
 
     return o

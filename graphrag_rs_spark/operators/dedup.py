@@ -183,16 +183,34 @@ def minhash_lsh_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document (bit-vote over token xxhash64 values).
+    """SimHash per document (bit-vote over token hash values).
+
+    ``hash_fn='xxhash64'`` (default, 64-bit) is the performance path —
+    token hashing stays in JVM codegen. ``hash_fn='md5'`` derives a 60-bit
+    token hash from the first 15 hex digits of md5 — slightly slower, but
+    reproducible outside the JVM (hashlib), which is what the driver's
+    DuckDB-side oracle twin checks against.
 
     The vote accumulation is a vectorized pandas UDF over Arrow batches
     (numpy bit unpacking — no per-row Python loops over bits).
     """
+    if hash_fn == "xxhash64":
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+        n_bits = 64
+    elif hash_fn == "md5":
+        token_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+        n_bits = 60
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     toks = df.select(
         F.col(id_col),
-        F.transform(F.split(_norm_text(text_col), " "), lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(F.split(_norm_text(text_col), " "), token_hash).alias("th"),
     )
 
     def simhash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -206,7 +224,7 @@ def simhash_signatures(
                 if arr.size == 0:
                     out.append((doc_id, 0))
                     continue
-                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+                bits = ((arr[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1).sum(axis=0)
                 votes = bits * 2 > arr.size
                 val = 0
                 for i in np.nonzero(votes)[0]:

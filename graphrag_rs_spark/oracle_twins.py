@@ -1,0 +1,395 @@
+"""Single-process oracle twins for the driver correctness gate.
+
+Each function computes — with pandas/numpy/hashlib only, no Spark — the
+expected output of one ``queries()`` entry in ``__spark_entry__.py`` over
+the driver's parquet tables. The dumps these produce are what the matching
+``oracle_sql()`` entries read via DuckDB ``read_parquet``.
+
+Independence statement (what each check actually pins):
+
+* ``pagerank``, ``label_propagation``, ``summary_tree``, ``hybrid_search``,
+  ``simhash`` — fully independent reimplementations (numpy power iteration,
+  dict-based LPA, list-based tree build, pure-python BM25+RRF, hashlib md5
+  bit-vote); these verify both the distributed composition AND the math.
+* ``custom_ner``, ``semantic_chunks``, ``hash_embeddings`` — reuse the
+  shared ``rules/`` / ``functions/`` pure-Python ports (the rule code IS
+  the spec); these verify the distributed plumbing (partitioning, Arrow
+  batching, ordering, schema), not the rule internals, which pytest pins
+  against reference vectors separately.
+
+Everything here runs on driver-table scale (sf0.01: 500 docs / 25 nations)
+— the dumps are only produced at the correctness scale factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+
+
+def _read(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_text(t: str) -> str:
+    return re.sub(r"\s+", " ", (t or "").strip().lower())
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5 60-bit variant) — twin of operators/dedup.simhash_signatures
+# with hash="md5"
+# ---------------------------------------------------------------------------
+
+def simhash_md5(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents")
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _norm_text(text).split(" ")
+        hashes = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for t in toks
+        ]
+        arr = np.asarray(hashes, dtype=np.uint64)
+        if arr.size == 0:
+            out.append((int(doc_id), 0))
+            continue
+        bits = ((arr[:, None] >> np.arange(60, dtype=np.uint64)) & 1).sum(axis=0)
+        votes = bits * 2 > arr.size
+        val = 0
+        for i in np.nonzero(votes)[0]:
+            val |= 1 << int(i)
+        out.append((int(doc_id), int(val)))
+    return pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the nation chain graph — numpy power-iteration twin of
+# operators/retrieval.pagerank (same damping/teleport/dangling/tol
+# semantics, same iteration count and stopping rule)
+# ---------------------------------------------------------------------------
+
+def _nation_chain_edges(sf_dir: str) -> list[tuple[str, str]]:
+    n = _read(sf_dir, "nation").sort_values(["n_regionkey", "n_nationkey"])
+    edges = []
+    for _, grp in n.groupby("n_regionkey"):
+        ids = [f"n{k}" for k in grp["n_nationkey"]]
+        edges.extend(zip(ids, ids[1:]))
+    return edges
+
+
+def pagerank_nation_chain(
+    sf_dir: str, damping: float = 0.85, max_iter: int = 30, tol: float = 1e-6,
+    check_every: int = 5,
+) -> pd.DataFrame:
+    edges = sorted(set(_nation_chain_edges(sf_dir)))
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = Counter(u for u, _ in edges)
+    tp = np.full(n, 1.0 / n)
+    ranks = tp.copy()
+    dangling_nodes = [idx[v] for v in nodes if out_deg[v] == 0]
+    for it in range(max_iter):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += ranks[idx[u]] / out_deg[u]
+        dangling = float(ranks[dangling_nodes].sum())
+        new_ranks = (1.0 - damping) * tp + damping * (inflow + dangling * tp)
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        # the Spark operator only pays a delta-check action every
+        # check_every iterations — replicate its stopping rule exactly
+        if ((it + 1) % check_every == 0 or it == max_iter - 1) and delta < tol:
+            break
+    return pd.DataFrame(
+        {"id": nodes, "rank": [round(float(r), 9) for r in ranks]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation on the nation band graph — dict-based twin of
+# operators/analytics.label_propagation (synchronous, self-vote,
+# min-label ties, stop on no-change or max_iter)
+# ---------------------------------------------------------------------------
+
+def _nation_band_edges(sf_dir: str) -> list[tuple[str, str]]:
+    n = _read(sf_dir, "nation").sort_values(["n_regionkey", "n_nationkey"])
+    edges = []
+    for _, grp in n.groupby("n_regionkey"):
+        ids = [f"n{k}" for k in grp["n_nationkey"]]
+        for i, u in enumerate(ids):
+            for j in range(i + 1, min(i + 3, len(ids))):
+                edges.append((u, ids[j]))
+    return edges
+
+
+def label_propagation_band(sf_dir: str, max_iter: int = 10) -> pd.DataFrame:
+    undirected = {tuple(sorted(e)) for e in _nation_band_edges(sf_dir)}
+    adj: dict[str, set[str]] = defaultdict(set)
+    for u, v in undirected:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        new_labels = {}
+        for v in adj:
+            votes = Counter(labels[nb] for nb in adj[v])
+            votes[labels[v]] += 1
+            top = max(votes.values())
+            # most frequent label, ties -> min label (matches the Spark
+            # window's (cnt desc, label asc) row_number pick)
+            new_labels[v] = min(l for l, c in votes.items() if c == top)
+        if new_labels == labels:
+            break
+        labels = new_labels
+    return pd.DataFrame(
+        sorted(labels.items()), columns=["id", "label"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom NER over documents — rules/ner.py applied directly (plumbing twin)
+# ---------------------------------------------------------------------------
+
+def custom_ner(sf_dir: str, rules) -> pd.DataFrame:
+    from graphrag_rs_spark.rules.ner import extract
+
+    docs = _read(sf_dir, "documents")
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for ent in extract(text or "", list(rules)):
+            out.append(
+                (
+                    str(doc_id), ent.text, ent.entity_type, ent.start,
+                    ent.end, float(np.float32(ent.confidence)), ent.rule_name,
+                )
+            )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "chunk_id", "text", "entity_type", "start", "end", "confidence",
+            "rule_name",
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic chunks over the synthetic transcript fixture (plumbing twin)
+# ---------------------------------------------------------------------------
+
+def semantic_chunks(n_convs: int, seed: int = 42) -> pd.DataFrame:
+    from graphrag_rs_spark.fixtures import generate_transcripts
+    from graphrag_rs_spark.oracle import assemble
+    from graphrag_rs_spark.rules.semantic_chunking import (
+        SemanticChunkerConfig,
+        semantic_chunk,
+    )
+
+    rows = generate_transcripts(n_convs, seed=seed)
+    docs, _ = assemble(rows)
+    cfg = SemanticChunkerConfig()
+    out = []
+    for conv_id in sorted(docs):
+        for idx, ch in enumerate(semantic_chunk(docs[conv_id] or "", cfg)):
+            out.append(
+                (
+                    conv_id, conv_id, idx, f"{conv_id}_s{idx}", ch["content"],
+                    ch["start_sentence"], ch["end_sentence"],
+                    ch["sentence_count"],
+                )
+            )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "conv_id", "doc_id", "chunk_idx", "chunk_id", "text",
+            "start_sentence", "end_sentence", "sentence_count",
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash embeddings over documents (plumbing twin): dim + squared norm after
+# the float32 quantization the Spark UDF applies
+# ---------------------------------------------------------------------------
+
+def hash_embeddings(sf_dir: str, dim: int = 32, max_doc_id: int = 200) -> pd.DataFrame:
+    from graphrag_rs_spark.functions.embeddings import embed_text
+
+    docs = _read(sf_dir, "documents")
+    docs = docs[docs["doc_id"] < max_doc_id]
+    out = []
+    cache: dict[str, np.ndarray] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        vec = np.asarray(embed_text(text or "", dim, cache), dtype=np.float32)
+        acc = 0.0
+        for x in vec:  # sequential double sum == F.aggregate fold order
+            acc += float(x) * float(x)
+        out.append((int(doc_id), int(len(vec)), round(acc, 6)))
+    return pd.DataFrame(out, columns=["doc_id", "dim", "sq_norm"])
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical summary tree — independent list-based twin of
+# operators/summarize.build_summary_tree over the driver documents grouping
+# ---------------------------------------------------------------------------
+
+def summary_tree(
+    sf_dir: str,
+    group_mod: int = 64,
+    merge_size: int = 5,
+    max_summary_length: int = 200,
+    keywords_per_node: int = 10,
+) -> pd.DataFrame:
+    from graphrag_rs_spark.operators.retrieval import KEYWORD_STOPWORDS
+    from graphrag_rs_spark.rules.summarize import extractive_summary
+
+    docs = _read(sf_dir, "documents")
+
+    def tf_keywords(text: str) -> list[str]:
+        toks = [
+            t for t in (text or "").strip().lower().split()
+            if len(t) > 3 and t not in KEYWORD_STOPWORDS
+        ]
+        counts = Counter(toks)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return sorted(w for w, _ in top[:keywords_per_node])
+
+    by_group: dict[str, list[tuple[int, str, str]]] = defaultdict(list)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        by_group[f"g{int(doc_id) % group_mod}"].append(
+            (int(doc_id), str(doc_id), text or "")
+        )
+
+    rows = []
+    for gid, chunks in by_group.items():
+        chunks.sort()
+        nodes = []
+        for node_idx, (_, chunk_id, text) in enumerate(chunks):
+            nodes.append(
+                {
+                    "doc_id": gid,
+                    "level": 0,
+                    "node_idx": node_idx,
+                    "node_id": chunk_id,
+                    "content": text,
+                    "summary": extractive_summary(text, max_summary_length),
+                    "keywords": tf_keywords(text),
+                    "chunk_ids": [chunk_id],
+                }
+            )
+        rows.extend(nodes)
+        level = 0
+        current = nodes
+        while len(current) > 1:
+            level += 1
+            merged = []
+            for grp in range(0, (len(current) + merge_size - 1) // merge_size):
+                members = current[grp * merge_size:(grp + 1) * merge_size]
+                content = "\n\n".join(m["content"] for m in members)
+                kw = sorted(set().union(*[set(m["keywords"]) for m in members]))
+                kw = kw[:keywords_per_node]
+                chunk_ids = [c for m in members for c in m["chunk_ids"]]
+                merged.append(
+                    {
+                        "doc_id": gid,
+                        "level": level,
+                        "node_idx": grp,
+                        "node_id": f"level_{level}_{grp}",
+                        "content": content,
+                        "summary": extractive_summary(
+                            content, max_summary_length
+                        ),
+                        "keywords": kw,
+                        "chunk_ids": chunk_ids,
+                    }
+                )
+            rows.extend(merged)
+            current = merged
+    return pd.DataFrame(
+        [
+            (r["doc_id"], r["level"], r["node_idx"], r["node_id"], r["summary"])
+            for r in rows
+        ],
+        columns=["doc_id", "level", "node_idx", "node_id", "summary"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search — independent BM25 + hash-embedding KNN + RRF twin of
+# operators/retrieval.hybrid_search (reference retrieval/hybrid.rs:168,
+# HOW_IT_WORKS.md:870-886)
+# ---------------------------------------------------------------------------
+
+def hybrid_search(
+    sf_dir: str,
+    query: str,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    top_n: int = 10,
+    dim: int = 32,
+) -> pd.DataFrame:
+    from graphrag_rs_spark.functions.embeddings import embed_text
+    from graphrag_rs_spark.operators.retrieval import bm25_tokenize
+
+    docs = _read(sf_dir, "documents")
+    ids = [int(i) for i in docs["doc_id"]]
+    texts = [t or "" for t in docs["text"]]
+
+    # --- BM25 side (Lucene idf, normalized tf; bm25.rs:117-192) ---
+    tok_lists = [bm25_tokenize(t) for t in texts]
+    dls = [len(t) for t in tok_lists]
+    n_docs = len(ids)
+    avgdl = sum(dls) / n_docs if n_docs else 0.0
+    qterms = list(dict.fromkeys(bm25_tokenize(query)))
+    k1, b = 1.2, 0.75
+    df_counts = {
+        term: sum(1 for toks in tok_lists if term in toks) for term in qterms
+    }
+    scores = {}
+    for doc_id, toks, dl in zip(ids, tok_lists, dls):
+        s = 0.0
+        cnt = Counter(toks)
+        for term in qterms:
+            if cnt[term] == 0 or df_counts[term] == 0:
+                continue
+            tf = cnt[term] / dl
+            idf = math.log(n_docs / df_counts[term]) + 1.0
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if s > 0:
+            scores[doc_id] = s
+    bm_ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_each]
+
+    # --- vector side: hash embeddings, cosine vs query embedding ---
+    cache: dict[str, np.ndarray] = {}
+    qv = np.asarray(embed_text(query, dim, cache), dtype=np.float64)
+    sims = []
+    for doc_id, text in zip(ids, texts):
+        dv = np.asarray(embed_text(text, dim, cache), dtype=np.float32).astype(
+            np.float64
+        )
+        na, nb = float(np.sqrt((qv * qv).sum())), float(np.sqrt((dv * dv).sum()))
+        cos = float((qv * dv).sum()) / (na * nb) if na > 0 and nb > 0 else 0.0
+        sims.append((doc_id, cos))
+    knn_ranked = sorted(sims, key=lambda kv: (-kv[1], kv[0]))[:k_each]
+
+    # --- RRF fusion (score = sum 1/(rrf_k + rank)) ---
+    fused: dict[int, list] = defaultdict(lambda: [0.0, 0])
+    for rank, (doc_id, _) in enumerate(bm_ranked, start=1):
+        fused[doc_id][0] += 1.0 / (rrf_k + rank)
+        fused[doc_id][1] += 1
+    for rank, (doc_id, _) in enumerate(knn_ranked, start=1):
+        fused[doc_id][0] += 1.0 / (rrf_k + rank)
+        fused[doc_id][1] += 1
+    out = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
+    return pd.DataFrame(
+        [
+            (doc_id, round(sc, 9), n)
+            for doc_id, (sc, n) in out
+        ],
+        columns=["item_id", "rrf_score", "n_lists"],
+    )

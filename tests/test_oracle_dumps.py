@@ -27,6 +27,18 @@ KG_QUERIES = [
     "kg_node_stats",
 ]
 
+# twin-dump and recall-shaped entries (single-process reimplementations /
+# exact-side-plus-recall-bound checks)
+TWIN_QUERIES = [
+    "dedup_simhash",
+    "pagerank_nation_chain",
+    "label_propagation",
+    "custom_ner",
+    "hash_embeddings",
+    "hybrid_search",
+    "dedup_embedding_cosine",
+]
+
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -35,16 +47,36 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
 @pytest.fixture(scope="module")
 def harness(spark):
     queries = entry.queries()
     oracles = entry.oracle_sql()
     con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return spark, queries, oracles, con
+
+
+@pytest.mark.parametrize("name", TWIN_QUERIES)
+def test_twin_query_matches_oracle(harness, name):
+    _assert_query_matches(harness, name)
 
 
 @pytest.mark.parametrize("name", KG_QUERIES)
 def test_kg_stage_matches_oracle_dump(harness, name):
+    _assert_query_matches(harness, name)
+
+
+def _assert_query_matches(harness, name):
     spark, queries, oracles, con = harness
     assert name in oracles, f"{name} must have a DuckDB oracle"
     got = _canon(queries[name](spark, SF_DIR).toPandas())
