@@ -58,14 +58,20 @@ def build_spark() -> SparkSession:
 def bench_kg(spark: SparkSession, sf: float) -> dict:
     """Full build over synthetic transcripts; returns timings + counts."""
     from graphrag_rs_spark.config import PipelineConfig
-    from graphrag_rs_spark.fixtures import transcripts_df
+    from graphrag_rs_spark.fixtures import ScaledVocab, transcripts_df
     from graphrag_rs_spark.plans.pipeline import build_graph
 
     # sized so parallel work dominates fixed stage overhead at sf0.1
     n_convs = KG_CONVS or max(200, int(40_000 * sf))
+    # entity vocabulary scales with the corpus (~1 distinct base identity
+    # per 2 conversations, Zipf-skewed, 15% planted near-dup spellings) so
+    # canonicalization/CC/materialization run at non-toy graph sizes
+    vocab = ScaledVocab(n_persons=max(50, n_convs // 2),
+                        n_orgs=max(20, n_convs // 5))
     t_gen = time.perf_counter()
     transcripts = transcripts_df(
-        spark, n_convs, seed=42, distributed=True, partitions=CPUS * 4
+        spark, n_convs, seed=42, distributed=True, partitions=CPUS * 4,
+        vocab=vocab,
     ).cache()
     n_turns = transcripts.count()  # materialize input OUTSIDE the timed window
     gen_s = time.perf_counter() - t_gen

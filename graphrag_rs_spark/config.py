@@ -29,6 +29,12 @@ class PipelineConfig:
     extract_relationships: bool = True
     relationship_confidence: float = 0.5  # config/mod.rs:887-889
     max_gleaning_rounds: int = 1  # >1 enables multi-pass extraction
+    # completeness gate for gleaning rounds > 1: a chunk is "incomplete"
+    # while it holds fewer entities than this density target (the
+    # deterministic analogue of the reference's per-chunk LLM YES/NO
+    # completeness check, gleaning_extractor.rs:154-194 — zero-entities
+    # alone re-asks far less often than the reference does)
+    gleaning_entity_target: int = 2
 
     # --- canonicalization (string_similarity_linker.rs:40-52) ---
     link_min_similarity: float = 0.85

@@ -61,28 +61,131 @@ TOOLS = [None, None, None, "search", "calculator", "code_interpreter"]
 
 _EPOCH = datetime(2026, 1, 1, 0, 0, 0)
 
+# --------------------------------------------------------------------------
+# Procedural scaled vocabulary (bench path).
+#
+# The fixed 43-name vocabulary above caps the graph at ~100 nodes no matter
+# how many conversations are generated, so a bench run never exercises
+# canonicalization/CC/materialization at non-toy graph sizes. ``ScaledVocab``
+# derives entity names procedurally from an integer index — no pool is ever
+# materialized, so a 100k-entity vocabulary costs nothing to ship to
+# executors — with (a) Zipf-skewed index draws (hub entities) and (b)
+# planted near-duplicate misspellings (canonicalization work), while
+# keeping surface forms the pattern extractor recognizes (capitalized
+# First Last pairs; org names with known suffixes, entity/mod.rs:485-549).
+# --------------------------------------------------------------------------
 
-def _turn_text(rng: random.Random) -> str:
+_SYL = (
+    "an bel cor dan el fin gar hol ir jas kel lor mar nor or pel quin ros "
+    "sten tor ul ver wil yor zel brom cal dur fen grim hax"
+).split()
+
+_ORG_SUFFIXES = ("Corporation", "Corp", "Inc", "LLC", "Ltd", "Group",
+                 "Solutions", "Technologies")
+
+
+def _word(idx: int, n_syllables: int) -> str:
+    parts = []
+    for _ in range(n_syllables):
+        idx, r = divmod(idx, len(_SYL))
+        parts.append(_SYL[r])
+    return "".join(parts).capitalize()
+
+
+def person_name(idx: int) -> str:
+    """Deterministic 'First Last' — both words capitalized multi-syllable,
+    which phase 3 of the reference extractor recognizes
+    (entity/mod.rs:443-482)."""
+    return f"{_word(idx * 2 + 1, 2)} {_word(idx * 3 + 7, 3)}"
+
+
+def org_name(idx: int) -> str:
+    """Deterministic org with a recognized suffix (entity/mod.rs:485-523)."""
+    return f"{_word(idx * 5 + 3, 3)} {_ORG_SUFFIXES[idx % len(_ORG_SUFFIXES)]}"
+
+
+def _typo(name: str, rng: random.Random) -> str:
+    """Near-duplicate surface form: one letter dropped, doubled, or swapped
+    inside a word (never the capitalized first letter, so extraction still
+    fires); keeps edit distance ≤ 2 of the original — linkable."""
+    words = name.split(" ")
+    wi = rng.randrange(len(words))
+    w = words[wi]
+    if len(w) < 4:
+        return name
+    pos = rng.randrange(1, len(w) - 1)
+    kind = rng.randrange(3)
+    if kind == 0:
+        w = w[:pos] + w[pos + 1:]
+    elif kind == 1:
+        w = w[:pos] + w[pos] + w[pos:]
+    else:
+        w = w[:pos] + w[pos + 1] + w[pos] + w[pos + 2:]
+    words[wi] = w
+    return " ".join(words)
+
+
+class ScaledVocab:
+    """Entity-name source scaling with corpus size.
+
+    ``n_persons`` / ``n_orgs`` bound the distinct base identities; draws
+    are Zipf-ish skewed (``rng.random()**skew_pow`` → low indexes are hubs)
+    and ``near_dup_rate`` of mentions surface as misspelled variants."""
+
+    def __init__(self, n_persons: int, n_orgs: int, skew_pow: float = 3.0,
+                 near_dup_rate: float = 0.15):
+        self.n_persons = max(1, n_persons)
+        self.n_orgs = max(1, n_orgs)
+        self.skew_pow = skew_pow
+        self.near_dup_rate = near_dup_rate
+
+    def _draw(self, rng: random.Random, n: int) -> int:
+        return int(n * (rng.random() ** self.skew_pow))
+
+    def person(self, rng: random.Random) -> str:
+        name = person_name(self._draw(rng, self.n_persons))
+        if rng.random() < self.near_dup_rate:
+            name = _typo(name, rng)
+        return name
+
+    def org(self, rng: random.Random) -> str:
+        name = org_name(self._draw(rng, self.n_orgs))
+        if rng.random() < self.near_dup_rate:
+            name = _typo(name, rng)
+        return name
+
+
+def _turn_text(rng: random.Random, vocab: ScaledVocab | None = None) -> str:
     """One turn: 1-3 sentences, ~40% carrying an entity/relation plant."""
+
+    def pick_person() -> str:
+        return vocab.person(rng) if vocab else rng.choice(PEOPLE)
+
+    def pick_org() -> str:
+        return vocab.org(rng) if vocab else rng.choice(ORGS)
+
     sentences = []
     for _ in range(rng.randint(1, 3)):
         roll = rng.random()
         if roll < 0.18:
-            p = rng.choice(PEOPLE)
-            o = rng.choice(ORGS)
+            p = pick_person()
+            o = pick_org()
             rel = rng.choice(RELATION_PHRASES[:4])
             sentences.append(f"{p} {rel} {o}.")
         elif roll < 0.30:
-            p = rng.choice(PEOPLE)
+            p = pick_person()
             loc = rng.choice(LOCATIONS)
             rel = rng.choice(RELATION_PHRASES[4:8])
             sentences.append(f"{p} {rel} {loc}.")
         elif roll < 0.38:
-            p1, p2 = rng.sample(PEOPLE, 2)
+            if vocab:
+                p1, p2 = vocab.person(rng), vocab.person(rng)
+            else:
+                p1, p2 = rng.sample(PEOPLE, 2)
             rel = rng.choice(RELATION_PHRASES[9:13])
             sentences.append(f"{p1} {rel} {p2}.")
         elif roll < 0.44:
-            o = rng.choice(ORGS)
+            o = pick_org()
             loc = rng.choice(LOCATIONS)
             sentences.append(f"{o} is headquartered in {loc}.")
         else:
@@ -91,12 +194,14 @@ def _turn_text(rng: random.Random) -> str:
 
 
 def generate_conversation(conv_index: int, seed: int = 42, mega_every: int = 50,
-                          mega_turns: int = 200) -> list[dict]:
+                          mega_turns: int = 200,
+                          vocab: ScaledVocab | None = None) -> list[dict]:
     """All turns of one conversation — deterministic in (seed, conv_index).
 
     Every ``mega_every``-th conversation is a "mega conversation" with
     ``mega_turns`` turns (Zipf-ish skew per FIXTURES.md §1) to exercise the
-    skew handling paths.
+    skew handling paths. ``vocab`` switches entity plants from the fixed
+    43-name dictionary to the procedural scaled vocabulary (bench path).
     """
     rng = random.Random((seed << 20) ^ conv_index)
     conv_id = f"conv{conv_index:08d}"
@@ -118,7 +223,7 @@ def generate_conversation(conv_index: int, seed: int = 42, mega_every: int = 50,
                 "conv_id": conv_id,
                 "turn_idx": t,
                 "role": role,
-                "text": _turn_text(rng),
+                "text": _turn_text(rng, vocab),
                 "tool": tool,
                 "ts": base_ts + timedelta(seconds=30 * t),
             }

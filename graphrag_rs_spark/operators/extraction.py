@@ -244,16 +244,18 @@ def extract_gleaning(
     """Multi-round extraction (gleaning_extractor.rs:112-223 dataflow).
 
     Round 1 extracts with the configured types. Later rounds run ONLY over
-    chunks that still look incomplete (deterministic completeness check:
-    zero entities found — the analogue of the reference's LLM YES/NO gate)
-    with progressively wider type sets, then results merge by
-    (chunk, name-lowercase) keeping the longer name / higher confidence
-    (gleaning merge rule, gleaning_extractor.rs:229-272).
+    chunks that still look incomplete — entity count below
+    ``config.gleaning_entity_target``, the deterministic density analogue
+    of the reference's per-chunk LLM YES/NO completeness check
+    (gleaning_extractor.rs:154-194) — with progressively wider type sets,
+    then results merge by (chunk, name-lowercase) keeping the longer name /
+    higher confidence (gleaning merge rule, gleaning_extractor.rs:229-272).
 
     The driver-side loop shrinks the frontier each round via an anti-join —
     completed chunks are never re-extracted.
     """
     rounds = max(1, config.max_gleaning_rounds)
+    target = max(1, config.gleaning_entity_target)
     if round_types is None:
         widen = ("CONCEPT", "EVENT", "OBJECT")
         round_types = [tuple(config.all_entity_types)]
@@ -264,13 +266,17 @@ def extract_gleaning(
         chunks, _with_types(config, round_types[0])
     )
     for r in range(1, rounds):
-        # frontier: chunks with no entities yet (completeness gate)
-        incomplete_ids = result.where(F.size("entities") == 0).select("chunk_id")
+        # frontier: chunks below the entity-density target
+        incomplete_ids = result.where(
+            F.size("entities") < target
+        ).select("chunk_id")
         frontier = chunks.join(F.broadcast(incomplete_ids), "chunk_id", "left_semi")
         if frontier.isEmpty():
             break
         re_extracted = extract_chunks(frontier, _with_types(config, round_types[r]))
-        result = result.where(F.size("entities") > 0).unionByName(re_extracted)
+        result = result.where(F.size("entities") >= target).unionByName(
+            re_extracted
+        )
     return result
 
 

@@ -50,6 +50,25 @@ def test_gleaning_second_round_widens_types(spark, mixed_chunks):
     assert "EVENT" in kinds
 
 
+def test_gleaning_density_gate_reextracts_sparse_chunks(spark):
+    """The completeness gate is an entity-DENSITY target, not just
+    zero-entities: a chunk with one entity but below the target is
+    re-asked with wider types and gains entities in round 2."""
+    rows = [("c0", "conv0", "conv0", 0,
+             "Sarah Henderson attended the conference about the meeting.")]
+    chunks = spark.createDataFrame(rows, CHUNKS_SCHEMA)
+    single = extract_chunks(chunks, PipelineConfig()).collect()[0]
+    assert 0 < len(single["entities"]) < 2, "fixture must be sparse, not empty"
+    multi = extract_gleaning(
+        chunks, PipelineConfig(max_gleaning_rounds=3, gleaning_entity_target=2)
+    ).collect()[0]
+    assert len(multi["entities"]) > len(single["entities"])
+    # the round-1 entity survives the re-extraction
+    names1 = {e["name"] for e in single["entities"]}
+    names2 = {e["name"] for e in multi["entities"]}
+    assert names1 <= names2
+
+
 def test_gleaning_round_one_equivalent_when_complete(spark):
     rows = [("c0", "conv0", "conv0", 0,
              "Alice Johnson met Robert Brown in Paris.")]
