@@ -280,6 +280,7 @@ def _ensure_twin_dump(sf_dir: str) -> str:
         "hash_embeddings": tw.hash_embeddings(sf_dir),
         "summary_tree": tw.summary_tree(sf_dir),
         "hybrid_search": tw.hybrid_search(sf_dir, _HYBRID_QUERY),
+        "hipporag_retrieval": tw.hipporag_retrieval(sf_dir),
     }
     for name, pdf in dumps.items():
         pdf.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
@@ -902,6 +903,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["shortest_path_chain"] = shortest_path_q
+
+    # ---- HippoRAG PPR retrieval (retrieval/hipporag_ppr.rs) -----------
+    # deterministic fixture from the events table: entities = event types,
+    # passages = users, facts = co-occurring type pairs scored by co-count,
+    # dense passage score = event count / max count
+    def hipporag_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.hipporag import hipporag_retrieve
+
+        _ensure_twin_dump(sf_dir)
+        ev = _read(spark, sf_dir, "events")
+        pairs = ev.select(
+            F.concat(F.lit("e:"), "event_type").alias("entity_id"),
+            F.concat(F.lit("p:u"), F.col("user_id").cast("string")).alias(
+                "passage_id"
+            ),
+        ).distinct()
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        max_n = counts.agg(F.max("n").alias("mx"))
+        passage_scores = counts.crossJoin(F.broadcast(max_n)).select(
+            F.concat(F.lit("p:u"), F.col("user_id").cast("string")).alias(
+                "passage_id"
+            ),
+            (F.col("n").cast("double") / F.col("mx")).alias("score"),
+        )
+        per_user_types = ev.select(
+            "user_id", F.concat(F.lit("e:"), "event_type").alias("t")
+        ).distinct()
+        a = per_user_types.select("user_id", F.col("t").alias("subject"))
+        b = per_user_types.select("user_id", F.col("t").alias("object"))
+        facts = (
+            a.join(b, "user_id")
+            .where(F.col("subject") < F.col("object"))
+            .groupBy("subject", "object")
+            .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        )
+        edges = pairs.select(
+            F.col("entity_id").alias("src"), F.col("passage_id").alias("dst")
+        ).unionByName(
+            facts.select(
+                F.col("subject").alias("src"), F.col("object").alias("dst")
+            )
+        )
+        out = hipporag_retrieve(
+            edges, facts, pairs, passage_scores, top_k_facts=20,
+            top_k_results=10,
+        )
+        return out.select(
+            "passage_id", F.round("ppr_score", 6).alias("ppr_score")
+        )
+
+    q["hipporag_retrieval"] = hipporag_q
+
+    # ---- query-focused subgraph (traversal.rs:521) on the nation chain -
+    def qf_subgraph_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.traversal import query_focused_subgraph
+
+        nodes, _edges = query_focused_subgraph(
+            _nation_chain_edges(spark, sf_dir), ["n0", "n1"],
+            expansion_hops=2, src="src", dst="dst", confidence=None,
+        )
+        return nodes.select(
+            "id", F.col("distance").cast("long").alias("distance")
+        )
+
+    q["query_focused_subgraph"] = qf_subgraph_q
+
+    # ---- chunk enrichment (text/chunk_enricher.rs) over synthetic
+    # markdown documents derived from the documents table ---------------
+    def enrich_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.enrichment import enrich_chunks
+
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text",
+            F.concat(F.lit("g"), (F.col("doc_id") % 20).cast("string")).alias(
+                "gid"
+            ),
+        )
+        hdr = F.concat(F.lit("## Doc "), F.col("doc_id").cast("string"))
+        w = Window.partitionBy("gid").orderBy("doc_id")
+        # markdown doc per group: "# Group g\n" then "## Doc i\n<text>\n"
+        # per member; offsets via a running sum of member block lengths
+        sized = docs.select(
+            "gid", "doc_id", "text", hdr.alias("hdr"),
+            (F.length(hdr) + F.length("text") + F.lit(2)).alias("block_len"),
+        )
+        chunks = sized.select(
+            "gid", "doc_id", "text",
+            (
+                F.length(F.concat(F.lit("# Group "), F.regexp_replace("gid", "^g", "")))
+                + F.lit(1)
+                + F.coalesce(
+                    F.sum("block_len").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.length("hdr") + F.lit(1)
+            ).alias("start"),
+        ).select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("gid").alias("doc_id"),
+            "text",
+            F.col("start").cast("int").alias("start"),
+        )
+        full_docs = sized.groupBy("gid").agg(
+            F.concat(
+                F.concat(F.lit("# Group "), F.regexp_replace("gid", "^g", "")),
+                F.lit("\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "hdr", "text"))
+                        ),
+                        lambda s: F.concat(s["hdr"], F.lit("\n"), s["text"]),
+                    ),
+                    "\n",
+                ),
+            ).alias("full_text")
+        ).select(F.col("gid").alias("doc_id"), "full_text")
+        enriched = enrich_chunks(chunks, full_docs)
+        return enriched.select(
+            "chunk_id",
+            F.col("doc_id").alias("group_id"),
+            "chapter", "section",
+            F.col("structural_level").cast("long").alias("structural_level"),
+            F.array_join("heading_path", "|").alias("heading_path"),
+            F.round("position_in_document", 9).alias("position"),
+            F.array_join("keywords", "|").alias("keywords"),
+            F.round("meta_confidence", 9).alias("meta_confidence"),
+        )
+
+    q["chunk_enrichment"] = enrich_q
 
     # ---- traversal (graph/traversal.rs) ----
     def khop_q(spark, sf_dir):
@@ -1566,6 +1699,91 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(row_number() OVER (ORDER BY n_nationkey) - 1
                      AS DOUBLE), 9) AS distance
         FROM nation WHERE n_regionkey = 0
+    """
+
+    o["hipporag_retrieval"] = f"""
+        SELECT passage_id, ppr_score
+        FROM read_parquet('{_dump("hipporag_retrieval")}')
+    """
+
+    # --- query-focused subgraph on the chain: distance from a seed to a
+    # same-region node is the rank gap; nodes keep the min over seeds ---
+    o["query_focused_subgraph"] = """
+        WITH nn AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 n_regionkey AS g,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS rk
+          FROM nation
+        ), seeds AS (
+          SELECT g, rk FROM nn WHERE id IN ('n0', 'n1')
+        ), d AS (
+          SELECT nn.id, MIN(ABS(nn.rk - seeds.rk)) AS dist
+          FROM nn JOIN seeds ON nn.g = seeds.g
+          GROUP BY nn.id
+        )
+        SELECT id, CAST(dist AS BIGINT) AS distance FROM d WHERE dist <= 2
+    """
+
+    # --- chunk enrichment over synthetic markdown groups ---
+    kw_stop2 = ",".join(f"'{w}'" for w in KEYWORD_STOPWORDS)
+    o["chunk_enrichment"] = f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 'g' || CAST(doc_id % 20 AS VARCHAR) AS gid,
+                 'Group ' || CAST(doc_id % 20 AS VARCHAR) AS gname,
+                 'Doc ' || CAST(doc_id AS VARCHAR) AS dname,
+                 '## Doc ' || CAST(doc_id AS VARCHAR) AS hdr,
+                 '# Group ' || CAST(doc_id % 20 AS VARCHAR) AS ghdr
+          FROM documents
+        ), sized AS (
+          SELECT *, length(hdr) + length(text) + 2 AS block_len FROM d
+        ), offs AS (
+          SELECT *,
+                 length(ghdr) + 1
+                 + COALESCE(SUM(block_len) OVER (
+                     PARTITION BY gid ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + length(hdr) + 1 AS chunk_start,
+                 length(ghdr) + 1
+                 + SUM(block_len) OVER (PARTITION BY gid) - 1 AS doc_len
+          FROM sized
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> length(x) > 3
+                                  AND NOT list_contains([{kw_stop2}], x)) AS t
+          FROM documents
+        ), counts AS (
+          SELECT doc_id, unnest(t) AS word FROM toks
+        ), c AS (
+          SELECT doc_id, word, COUNT(*) AS cnt
+          FROM counts GROUP BY doc_id, word
+        ), ranked AS (
+          SELECT doc_id, word,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, word) AS krank
+          FROM c
+        ), kws AS (
+          SELECT doc_id,
+                 string_agg(word, '|' ORDER BY krank) AS kw_str,
+                 COUNT(*) AS kw_n
+          FROM ranked WHERE krank <= 5 GROUP BY doc_id
+        )
+        SELECT CAST(offs.doc_id AS VARCHAR) AS chunk_id,
+               offs.gid AS group_id,
+               offs.gname AS chapter,
+               offs.dname AS section,
+               CAST(2 AS BIGINT) AS structural_level,
+               offs.gname || '|' || offs.dname AS heading_path,
+               round(CAST(offs.chunk_start AS DOUBLE) / offs.doc_len, 9)
+                 AS position,
+               COALESCE(kws.kw_str, '') AS keywords,
+               round((5.0
+                      + (CASE WHEN COALESCE(kws.kw_n, 0) > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN length(offs.text) > 150 THEN 1 ELSE 0 END)
+                     ) / 9.0, 9) AS meta_confidence
+        FROM offs LEFT JOIN kws ON offs.doc_id = kws.doc_id
     """
 
     # --- traversal: 2-hop BFS from n0 on the per-region chain ---

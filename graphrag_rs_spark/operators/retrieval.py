@@ -220,14 +220,28 @@ def pagerank(
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
 
     if personalization is not None:
-        seeds = personalization.select(F.col("id"))
-        n_seeds = seeds.count()
-        teleport = nodes.join(seeds, "id", "left_semi").withColumn(
-            "tp", F.lit(1.0 / max(n_seeds, 1))
-        )
-        teleport = nodes.join(teleport.select("id", "tp"), "id", "left").select(
-            "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
-        )
+        if "weight" in personalization.columns:
+            # weighted reset distribution (HippoRAG-style): normalize the
+            # provided weights over the nodes that exist in the graph
+            seeds = nodes.join(
+                personalization.select("id", "weight"), "id", "left"
+            ).select("id", F.coalesce("weight", F.lit(0.0)).alias("w"))
+            total = seeds.agg(F.sum("w").alias("t"))
+            teleport = seeds.crossJoin(F.broadcast(total)).select(
+                "id",
+                F.when(F.col("t") > 0, F.col("w") / F.col("t"))
+                .otherwise(F.lit(1.0 / n))
+                .alias("tp"),
+            )
+        else:
+            seeds = personalization.select(F.col("id"))
+            n_seeds = seeds.count()
+            teleport = nodes.join(seeds, "id", "left_semi").withColumn(
+                "tp", F.lit(1.0 / max(n_seeds, 1))
+            )
+            teleport = nodes.join(teleport.select("id", "tp"), "id", "left").select(
+                "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
+            )
     else:
         teleport = nodes.withColumn("tp", F.lit(1.0 / n))
     # precompute the dangling flag once; it never changes across iterations

@@ -169,3 +169,67 @@ def ego_network(
         .join(member.withColumnRenamed("id", dst), dst, "left_semi")
     )
     return nodes, induced
+
+
+def query_focused_subgraph(
+    edges: DataFrame,
+    seed_entities: list[str],
+    expansion_hops: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+    confidence: str | None = "confidence",
+    min_strength: float = 0.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Union of per-seed ego networks (traversal.rs:521-566): nodes carry
+    the MINIMUM distance over seeds; an edge belongs to the subgraph iff
+    BOTH endpoints fall inside the SAME seed's neighborhood (the reference
+    unions per-seed induced edge sets, so a cross-neighborhood edge between
+    two different seeds' fringes is excluded).
+
+    One seed-LABELED BFS covers all seeds simultaneously — the frontier
+    carries (seed, id) pairs, so |seeds| ego walks cost one iterative join
+    loop, not |seeds| loops.
+    """
+    spark = edges.sparkSession
+    sym = _sym_edges(edges, src, dst, confidence, min_strength).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame(
+        [(s, s) for s in dict.fromkeys(seed_entities)], "seed string, id string"
+    )
+    visited = seeds.withColumn("distance", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+
+    for depth in range(1, expansion_hops + 1):
+        nxt = (
+            sym.join(
+                frontier.select("seed", F.col("id").alias("u")), "u"
+            )
+            .select("seed", F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+            .withColumn("distance", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    nodes = visited.groupBy("id").agg(F.min("distance").alias("distance"))
+    membership = visited.select("seed", "id")
+    induced = (
+        edges.join(
+            membership.select("seed", F.col("id").alias(src)), src
+        )
+        .join(
+            membership.select(
+                F.col("seed").alias("_s2"), F.col("id").alias(dst)
+            ),
+            dst,
+        )
+        .where(F.col("seed") == F.col("_s2"))
+        .drop("seed", "_s2")
+        .distinct()
+    )
+    return nodes, induced

@@ -320,6 +320,120 @@ def summary_tree(
 
 
 # ---------------------------------------------------------------------------
+# HippoRAG PPR retrieval — independent dict/numpy twin of
+# operators/hipporag.hipporag_retrieve over the events-table fixture
+# (entities = event types, passages = users)
+# ---------------------------------------------------------------------------
+
+def hipporag_retrieval(
+    sf_dir: str,
+    top_k_facts: int = 20,
+    passage_node_weight: float = 0.05,
+    damping: float = 0.5,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    check_every: int = 5,
+    top_k_results: int = 10,
+) -> pd.DataFrame:
+    ev = _read(sf_dir, "events")
+
+    pairs = sorted(
+        {
+            (f"e:{t}", f"p:u{u}")
+            for t, u in zip(ev["event_type"], ev["user_id"])
+        }
+    )
+    user_counts = ev.groupby("user_id").size()
+    mx = int(user_counts.max())
+    passage_scores = {
+        f"p:u{u}": n / mx for u, n in user_counts.items()
+    }
+    per_user = defaultdict(set)
+    for t, u in zip(ev["event_type"], ev["user_id"]):
+        per_user[u].add(f"e:{t}")
+    fact_counts: dict[tuple[str, str], int] = defaultdict(int)
+    for types in per_user.values():
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                fact_counts[(ts[i], ts[j])] += 1
+    facts = sorted(
+        ((s, o, float(n)) for (s, o), n in fact_counts.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:top_k_facts]
+
+    # entity weights: fact score / passage count, averaged, min-max
+    passages_of = defaultdict(set)
+    for e, p in pairs:
+        passages_of[e].add(p)
+    w_sum: dict[str, float] = defaultdict(float)
+    w_cnt: dict[str, int] = defaultdict(int)
+    for s, o, score in facts:
+        for e in (s, o):
+            np_cnt = len(passages_of.get(e, ()))
+            if np_cnt >= 1:
+                w_sum[e] += score / np_cnt
+                w_cnt[e] += 1
+    entity_w = {e: w_sum[e] / w_cnt[e] for e in w_sum}
+
+    def minmax(d: dict) -> dict:
+        if not d:
+            return d
+        lo, hi = min(d.values()), max(d.values())
+        if abs(hi - lo) > 1e-10:
+            return {k: (v - lo) / (hi - lo) for k, v in d.items()}
+        return d
+
+    entity_w = minmax(entity_w)
+    passage_w = minmax(
+        {p: s * passage_node_weight for p, s in passage_scores.items()}
+    )
+    reset: dict[str, float] = defaultdict(float)
+    for k, v in entity_w.items():
+        reset[k] += v
+    for k, v in passage_w.items():
+        reset[k] += v
+
+    # graph = entity-passage membership edges + entity-entity edges from
+    # ALL co-occurring pairs (the Spark query unions the full facts table,
+    # not only the top-k slice); PPR semantics and stopping rule mirror
+    # operators/retrieval.pagerank exactly
+    edges = set(pairs) | {(s, o) for (s, o) in fact_counts}
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    total_reset = sum(reset.get(v, 0.0) for v in nodes)
+    if total_reset > 0:
+        tp = np.array([reset.get(v, 0.0) / total_reset for v in nodes])
+    else:
+        tp = np.full(n, 1.0 / n)
+    out_deg = Counter(u for u, _ in edges)
+    dangling_nodes = [idx[v] for v in nodes if out_deg[v] == 0]
+    ranks = tp.copy()
+    for it in range(max_iter):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += ranks[idx[u]] / out_deg[u]
+        dangling = float(ranks[dangling_nodes].sum())
+        new_ranks = (1.0 - damping) * tp + damping * (inflow + dangling * tp)
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        if ((it + 1) % check_every == 0 or it == max_iter - 1) and delta < tol:
+            break
+
+    scored = [
+        (v, float(ranks[idx[v]]))
+        for v in nodes
+        if v in passage_scores
+    ]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(
+        [(p, round(s, 6)) for p, s in scored[:top_k_results]],
+        columns=["passage_id", "ppr_score"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid search — independent BM25 + hash-embedding KNN + RRF twin of
 # operators/retrieval.hybrid_search (reference retrieval/hybrid.rs:168,
 # HOW_IT_WORKS.md:870-886)
