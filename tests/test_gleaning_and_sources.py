@@ -120,3 +120,51 @@ def test_graph_workspace_layout(spark, tmp_path):
     ents = read_table(spark, str(tmp_path / "ws" / "entities"), "parquet")
     rels = read_table(spark, str(tmp_path / "ws" / "relationships"), "parquet")
     assert ents.count() == 1 and rels.count() == 1
+
+
+def test_read_ntriples(spark, tmp_path):
+    from graphrag_rs_spark.sources.registry import read_ntriples
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "\n".join(
+            [
+                "<http://ex/alice> <http://ex/knows> <http://ex/bob> .",
+                "# a comment line",
+                "",
+                '<http://ex/alice> <http://ex/name> "Alice Smith"@en .',
+                "_:b1 <http://ex/age> \"42\"^^<http://www.w3.org/2001/XMLSchema#int> .",
+                "this line is malformed and must be skipped",
+            ]
+        )
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+        for r in read_ntriples(spark, str(nt)).collect()
+    }
+    assert rows == {
+        ("http://ex/alice", "http://ex/knows", "http://ex/bob", False),
+        ("http://ex/alice", "http://ex/name", "Alice Smith", True),
+        ("_:b1", "http://ex/age", "42", True),
+    }
+
+
+def test_read_graphml(spark, tmp_path):
+    from graphrag_rs_spark.sources.registry import read_graphml
+
+    gml = tmp_path / "g.graphml"
+    gml.write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="G" edgedefault="directed">
+    <node id="n0"><data key="name">Alice</data></node>
+    <node id="n1"><data key="name">Bob</data></node>
+    <edge source="n0" target="n1"><data key="rel">KNOWS</data></edge>
+  </graph>
+</graphml>"""
+    )
+    nodes, edges = read_graphml(spark, str(gml))
+    n = {r["node_id"]: dict(r["attrs"]) for r in nodes.collect()}
+    e = [(r["source"], r["target"], dict(r["attrs"])) for r in edges.collect()]
+    assert n == {"n0": {"name": "Alice"}, "n1": {"name": "Bob"}}
+    assert e == [("n0", "n1", {"rel": "KNOWS"})]
