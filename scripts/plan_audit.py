@@ -148,6 +148,18 @@ def main() -> None:
         summarize(p), p,
     ))
 
+    from graphrag_rs_spark.operators.retrieval import hybrid_search
+
+    p = plan_of(hybrid_search(documents, "spark table scan", k_each=10, top_n=5))
+    sections.append((
+        "hybrid search (BM25 + vector + RRF, one call)",
+        "Both branches scan the same doc table narrowly (BM25 postings "
+        "filter on query terms BEFORE the shuffle; the embedding UDF is one "
+        "ArrowEvalPython stage); the query vector is a literal — no collect "
+        "of data rows; fusion is a union + one aggregation.",
+        summarize(p), p,
+    ))
+
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
     band = (
         nation.select(
