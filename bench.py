@@ -76,7 +76,10 @@ def bench_kg(spark: SparkSession, sf: float) -> dict:
     n_turns = transcripts.count()  # materialize input OUTSIDE the timed window
     gen_s = time.perf_counter() - t_gen
 
-    cfg = PipelineConfig(shuffle_partitions=CPUS)
+    # min_shared_blocks=2 is the documented large-corpus blocking setting
+    # (~2.5x fewer scored pairs for ~0.1% pair recall); the P/R gate and
+    # the exact-parity driver fixture run at the full-recall default of 1
+    cfg = PipelineConfig(shuffle_partitions=CPUS, min_shared_blocks=2)
     t0 = time.perf_counter()
     tables = build_graph(spark, transcripts, cfg)
     n_triples_raw = tables["edges_raw"].count()

@@ -45,6 +45,14 @@ class PipelineConfig:
     # dropped from candidate generation (logged); the reference compares ALL
     # pairs (O(n²), string_similarity_linker.rs:79-103) which cannot scale.
     max_block_size: int = 4096
+    # candidate pairs must co-occur in at least this many blocking keys.
+    # True near-duplicates usually share MANY keys (common tokens, soundex
+    # codes, char 4-grams) while the junk majority of blocked pairs shares
+    # exactly one — 2 cuts the scored-pair volume ~2.5x for ~0.1%
+    # pair-recall loss (standard multi-pass blocking). The default stays 1
+    # because the exact-parity contract vs the all-pairs oracle requires
+    # full candidate recall; large corpus runs should set 2.
+    min_shared_blocks: int = 1
 
     # --- graph materialization ---
     # salting fan-out for hub-entity edge re-pointing joins

@@ -75,20 +75,38 @@ _EPOCH = datetime(2026, 1, 1, 0, 0, 0)
 # First Last pairs; org names with known suffixes, entity/mod.rs:485-549).
 # --------------------------------------------------------------------------
 
-_SYL = (
-    "an bel cor dan el fin gar hol ir jas kel lor mar nor or pel quin ros "
-    "sten tor ul ver wil yor zel brom cal dur fen grim hax"
-).split()
+# High-entropy syllable space (onset × vowel × coda ≈ 1,700 syllables):
+# two-syllable words draw from ~3M combinations, so DISTINCT base
+# identities are rarely accidentally similar — the near-duplicate load on
+# the canonicalizer comes from the PLANTED typos below, as in real data,
+# not from a low-entropy name generator colliding with itself.
+_ONSETS = ("b br c ch cl d dr f fl g gr h j k kl l m n p pr qu r s sh sk "
+           "st t th tr v w y z").split()
+_VOWELS = "a e i o u ai ei ou".split()
+_CODAS = "b d g k l m n r s t x nd rn st".split()
 
 _ORG_SUFFIXES = ("Corporation", "Corp", "Inc", "LLC", "Ltd", "Group",
                  "Solutions", "Technologies")
 
 
+def _syllable(idx: int) -> str:
+    idx, o = divmod(idx, len(_ONSETS))
+    idx, v = divmod(idx, len(_VOWELS))
+    _, c = divmod(idx, len(_CODAS))
+    return _ONSETS[o] + _VOWELS[v] + _CODAS[c]
+
+
+_N_SYL = len(_ONSETS) * len(_VOWELS) * len(_CODAS)
+
+
 def _word(idx: int, n_syllables: int) -> str:
     parts = []
+    # golden-ratio hash spreads consecutive indexes across the syllable
+    # space so idx and idx+1 produce unrelated names
+    h = (idx * 2654435761) & 0xFFFFFFFF
     for _ in range(n_syllables):
-        idx, r = divmod(idx, len(_SYL))
-        parts.append(_SYL[r])
+        h, r = divmod(h, _N_SYL)
+        parts.append(_syllable(r))
     return "".join(parts).capitalize()
 
 

@@ -115,11 +115,16 @@ def candidate_pairs(
 
     left = keys.select("block_key", F.col("entity_id").alias("id1"))
     right = keys.select("block_key", F.col("entity_id").alias("id2"))
+    # multi-pass blocking: keep only pairs sharing >= min_shared_blocks
+    # keys (true near-dups share many; the junk majority shares one) —
+    # the groupBy count replaces the plain distinct at the same cost
     pairs = (
         left.join(right, "block_key")
         .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("_nk"))
+        .where(F.col("_nk") >= config.min_shared_blocks)
         .select("id1", "id2")
-        .distinct()
     )
 
     meta = entities.select(

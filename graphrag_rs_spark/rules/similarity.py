@@ -47,9 +47,44 @@ def levenshtein_distance(s1: str, s2: str) -> int:
     return prev[len2]
 
 
+def levenshtein_within(s1: str, s2: str, k: int) -> int:
+    """Banded edit distance: the exact Levenshtein d when d <= k, else any
+    value > k (Ukkonen band of width 2k+1 with early abandon). The scoring
+    hot loop only ever asks "is d within the cap?", so the full O(n·m) DP
+    is wasted work for the overwhelmingly-dissimilar majority of candidate
+    pairs."""
+    len1, len2 = len(s1), len(s2)
+    if abs(len1 - len2) > k:
+        return k + 1
+    if len1 == 0 or len2 == 0:
+        return max(len1, len2)
+    big = k + 1
+    prev = [j if j <= k else big for j in range(len2 + 1)]
+    for i in range(1, len1 + 1):
+        lo = max(1, i - k)
+        hi = min(len2, i + k)
+        cur = [big] * (len2 + 1)
+        if lo == 1:
+            cur[0] = i if i <= k else big
+        c1 = s1[i - 1]
+        row_min = cur[0] if lo == 1 else big
+        for j in range(lo, hi + 1):
+            cost = 0 if c1 == s2[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if v > big:
+                v = big
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return big
+        prev = cur
+    return prev[len2]
+
+
 def levenshtein_similarity(s1: str, s2: str, max_edit_distance: int = 2) -> float:
     """rs:193-206 — 1 - d/max_len, but 0.0 when d exceeds the cap."""
-    d = levenshtein_distance(s1, s2)
+    d = levenshtein_within(s1, s2, max_edit_distance)
     if d > max_edit_distance:
         return 0.0
     max_len = max(len(s1), len(s2))
