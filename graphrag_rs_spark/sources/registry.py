@@ -10,6 +10,8 @@ sites are identical).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -235,3 +237,170 @@ def read_graphml(
         F.col("a").alias("source"), F.col("b").alias("target"), F.col("attrs")
     )
     return nodes, edges
+
+
+_TTL_TOKEN = re.compile(
+    r"""
+      <[^>]*>                               # IRI ref
+    | "(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[^\s;,.]+)|@[\w-]+)?  # literal (+dtype/lang)
+    | '(?:[^'\\]|\\.)*'(?:\^\^(?:<[^>]*>|[^\s;,.]+)|@[\w-]+)?
+    | @?[A-Za-z][\w.-]*:[^\s;,.\]]*         # prefixed name / @prefix decl
+    | _:[\w.-]+                             # blank node label
+    | [;,.\[\]]                             # punctuation
+    | @[\w-]+                               # @prefix / @base keywords
+    | [Aa](?=[\s;,.])                       # 'a' → rdf:type
+    | [^\s;,.\[\]]+                         # bare token (numbers, PREFIX, true)
+    """,
+    re.VERBOSE,
+)
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _parse_turtle_doc(content: str):
+    """Tokenize one Turtle document → [(subj, pred, obj, is_literal)].
+
+    Subset: @prefix/@base (and SPARQL-style PREFIX/BASE), IRIs, prefixed
+    names, blank-node labels, literals with datatype/language tags, the
+    ``a`` keyword, ``;`` and ``,`` continuations, ``#`` comments,
+    statements spanning lines. Not covered (skipped permissively, as the
+    reference's PERMISSIVE import tolerance allows): nested ``[...]``
+    property lists and ``(...)`` collections.
+    """
+    # strip comments outside quoted strings AND <IRI> refs (IRIs routinely
+    # contain '#' fragments), line by line
+    lines = []
+    for ln in content.splitlines():
+        out, in_q, q, in_iri, i = [], False, "", False, 0
+        while i < len(ln):
+            ch = ln[i]
+            if in_q:
+                out.append(ch)
+                if ch == "\\" and i + 1 < len(ln):
+                    out.append(ln[i + 1])
+                    i += 1
+                elif ch == q:
+                    in_q = False
+            elif in_iri:
+                out.append(ch)
+                if ch == ">":
+                    in_iri = False
+            elif ch in "\"'":
+                in_q, q = True, ch
+                out.append(ch)
+            elif ch == "<":
+                in_iri = True
+                out.append(ch)
+            elif ch == "#":
+                break
+            else:
+                out.append(ch)
+            i += 1
+        lines.append("".join(out))
+    toks = _TTL_TOKEN.findall("\n".join(lines))
+
+    prefixes: dict[str, str] = {}
+    base = ""
+
+    def expand(tok: str):
+        """Token → (value, is_literal) or None if unusable."""
+        if tok.startswith("<"):
+            iri = tok[1:-1]
+            return (base + iri if base and "://" not in iri else iri), False
+        if tok.startswith("_:"):
+            return tok, False
+        if tok[0] in "\"'":
+            q = tok[0]
+            end = tok.rfind(q)
+            return tok[1:end].replace('\\"', '"').replace("\\'", "'"), True
+        if tok in ("a", "A"):
+            return _RDF_TYPE, False
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local, False
+            return tok, False
+        # bare literal token (number / boolean)
+        return tok, True
+
+    triples = []
+    i, n = 0, len(toks)
+    subj = pred = None
+    depth = 0  # inside [...] / (...) → skip
+    while i < n:
+        t = toks[i]
+        if t == "[" or t == "(":
+            depth += 1
+            i += 1
+            continue
+        if t == "]" or t == ")":
+            depth = max(0, depth - 1)
+            i += 1
+            continue
+        if depth:
+            i += 1
+            continue
+        low = t.lower()
+        if low in ("@prefix", "prefix") and i + 2 < n:
+            decl, iri = toks[i + 1], toks[i + 2]
+            if decl.endswith(":") and iri.startswith("<"):
+                prefixes[decl[:-1]] = iri[1:-1]
+            i += 3
+            continue
+        if low in ("@base", "base") and i + 1 < n:
+            if toks[i + 1].startswith("<"):
+                base = toks[i + 1][1:-1]
+            i += 2
+            continue
+        if t == ".":
+            subj = pred = None
+            i += 1
+            continue
+        if t == ";":
+            pred = None
+            i += 1
+            continue
+        if t == ",":
+            i += 1
+            continue
+        val = expand(t)
+        if val is None:
+            i += 1
+            continue
+        if subj is None:
+            subj = val[0]
+        elif pred is None:
+            pred = val[0]
+        else:
+            triples.append((subj, pred, val[0], val[1]))
+        i += 1
+    return triples
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Turtle RDF → (subj, pred, obj, obj_is_literal).
+
+    The declared-but-unimplemented reference surface
+    (pipeline/data_import.rs:36-43; its Turtle importer is a TODO no-op).
+    Turtle is stateful (file-scoped @prefix/@base), so the unit of
+    parallelism is the FILE — ``wholetext`` scan, one tokenizer pass per
+    file inside ``mapInPandas``. Line-oriented N-Triples content also
+    parses (it is a Turtle subset), but prefer :func:`read_ntriples` for
+    .nt data — that path is JVM-only and line-parallel.
+    """
+    docs = spark.read.text(path, wholetext=True)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["value"]:
+                rows.extend(_parse_turtle_doc(content))
+            yield pd.DataFrame(
+                rows, columns=["subj", "pred", "obj", "obj_is_literal"]
+            )
+
+    return docs.mapInPandas(
+        parse,
+        schema="subj string, pred string, obj string, obj_is_literal boolean",
+    )

@@ -168,3 +168,40 @@ def test_read_graphml(spark, tmp_path):
     e = [(r["source"], r["target"], dict(r["attrs"])) for r in edges.collect()]
     assert n == {"n0": {"name": "Alice"}, "n1": {"name": "Bob"}}
     assert e == [("n0", "n1", {"rel": "KNOWS"})]
+
+
+def test_read_turtle(spark, tmp_path):
+    from graphrag_rs_spark.sources.registry import read_turtle
+
+    ttl = tmp_path / "g.ttl"
+    ttl.write_text(
+        "\n".join(
+            [
+                "@prefix ex: <http://ex/> .",
+                "@prefix foaf: <http://xmlns.com/foaf/0.1/> .",
+                "# full-line comment",
+                "ex:alice a foaf:Person ;",
+                '    foaf:name "Alice" ;  # trailing comment',
+                "    foaf:knows ex:bob , ex:carol .",
+                'ex:d ex:p "typed"^^<http://www.w3.org/2001/XMLSchema#string> .',
+                "_:b1 ex:age 42 .",
+            ]
+        )
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+        for r in read_turtle(spark, str(ttl)).collect()
+    }
+    assert rows == {
+        (
+            "http://ex/alice",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://xmlns.com/foaf/0.1/Person",
+            False,
+        ),
+        ("http://ex/alice", "http://xmlns.com/foaf/0.1/name", "Alice", True),
+        ("http://ex/alice", "http://xmlns.com/foaf/0.1/knows", "http://ex/bob", False),
+        ("http://ex/alice", "http://xmlns.com/foaf/0.1/knows", "http://ex/carol", False),
+        ("http://ex/d", "http://ex/p", "typed", True),
+        ("_:b1", "http://ex/age", "42", True),
+    }
