@@ -148,28 +148,45 @@ class ScaledVocab:
 
     ``n_persons`` / ``n_orgs`` bound the distinct base identities; draws
     are Zipf-ish skewed (``rng.random()**skew_pow`` → low indexes are hubs)
-    and ``near_dup_rate`` of mentions surface as misspelled variants."""
+    and ``near_dup_rate`` of mentions surface as misspelled variants.
+
+    Each identity has a BOUNDED pool of ``n_variants`` deterministic
+    misspellings (variant slot → seeded typo), mirroring real data where an
+    entity's distinct surface forms are a small set. An earlier version drew
+    a fresh random typo per occurrence, which made every Zipf hub sprout
+    hundreds of distinct one-off variants — a C(v,2) match-pair clique per
+    hub family that inflated the canonicalizer's pair/CC stages ~30× with
+    work no real corpus would generate."""
 
     def __init__(self, n_persons: int, n_orgs: int, skew_pow: float = 3.0,
-                 near_dup_rate: float = 0.15):
+                 near_dup_rate: float = 0.15, n_variants: int = 4):
         self.n_persons = max(1, n_persons)
         self.n_orgs = max(1, n_orgs)
         self.skew_pow = skew_pow
         self.near_dup_rate = near_dup_rate
+        self.n_variants = max(1, n_variants)
 
     def _draw(self, rng: random.Random, n: int) -> int:
         return int(n * (rng.random() ** self.skew_pow))
 
+    def _variant(self, name: str, idx: int, rng: random.Random) -> str:
+        # deterministic per (identity, slot): hubs repeat the same few
+        # misspellings instead of inventing a new one per occurrence
+        slot = rng.randrange(self.n_variants)
+        return _typo(name, random.Random((idx * 1_000_003) ^ (slot * 7_919)))
+
     def person(self, rng: random.Random) -> str:
-        name = person_name(self._draw(rng, self.n_persons))
+        idx = self._draw(rng, self.n_persons)
+        name = person_name(idx)
         if rng.random() < self.near_dup_rate:
-            name = _typo(name, rng)
+            name = self._variant(name, idx, rng)
         return name
 
     def org(self, rng: random.Random) -> str:
-        name = org_name(self._draw(rng, self.n_orgs))
+        idx = self._draw(rng, self.n_orgs)
+        name = org_name(idx)
         if rng.random() < self.near_dup_rate:
-            name = _typo(name, rng)
+            name = self._variant(name, idx, rng)
         return name
 
 

