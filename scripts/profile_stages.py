@@ -28,16 +28,19 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from graphrag_rs_spark.config import PipelineConfig
-    from graphrag_rs_spark.fixtures import transcripts_df
+    from graphrag_rs_spark.fixtures import ScaledVocab, transcripts_df
     from graphrag_rs_spark.plans.pipeline import build_graph
 
     t0 = time.perf_counter()
+    # same scaled vocabulary as bench.py so canonicalization/CC run at
+    # non-toy graph sizes during profiling
+    vocab = ScaledVocab(n_persons=max(50, N // 2), n_orgs=max(20, N // 5))
     transcripts = transcripts_df(spark, N, seed=42, distributed=True,
-                                 partitions=CPUS * 2).cache()
+                                 partitions=CPUS * 2, vocab=vocab).cache()
     n_turns = transcripts.count()
     print(f"gen+cache: {time.perf_counter()-t0:.1f}s ({n_turns} turns)")
 
-    cfg = PipelineConfig(shuffle_partitions=CPUS)
+    cfg = PipelineConfig(shuffle_partitions=CPUS, min_shared_blocks=2)
     marks = [("build_graph() call (incl. eager CC)", None)]
     t0 = time.perf_counter()
     tables = build_graph(spark, transcripts, cfg)
