@@ -44,7 +44,15 @@ class PipelineConfig:
     # Spark-scale: blocking-key block-size cap. Blocks larger than this are
     # dropped from candidate generation (logged); the reference compares ALL
     # pairs (O(n²), string_similarity_linker.rs:79-103) which cannot scale.
-    max_block_size: int = 4096
+    # 1024 bounds any one block at C(1024,2) ≈ 524k scored pairs. The cap is
+    # what keeps "hot name families" — thousands of distinct people sharing
+    # a first token ("Washington …"), which Jaro-Winkler's prefix bonus
+    # scores ≥0.85 pairwise — from going quadratic: measured at 10k convs,
+    # one 2.5k-member family block under a 4096 cap contributed ~3.9M of
+    # 3.97M match edges. True variant pairs inside a capped family still
+    # link through their OTHER shared keys (second-token token/soundex/gram
+    # blocks), so only the family's cross-identity pairs are shed.
+    max_block_size: int = 1024
     # candidate pairs must co-occur in at least this many blocking keys.
     # True near-duplicates usually share MANY keys (common tokens, soundex
     # codes, char 4-grams) while the junk majority of blocked pairs shares
