@@ -53,6 +53,20 @@ class PipelineConfig:
     # link through their OTHER shared keys (second-token token/soundex/gram
     # blocks), so only the family's cross-identity pairs are shed.
     max_block_size: int = 1024
+    # Tighter cap for DERIVED blocking keys (soundex codes, end 4-grams).
+    # Their key spaces are small (~7k soundex codes; a few thousand
+    # frequent end-grams), so at 10^5+ entities the mass of derived blocks
+    # piles up just under ``max_block_size`` and dominates the candidate
+    # self-join: measured at 100k convs / 388k entities, blocks of 257-1024
+    # members were 145M of 182M join pairs — nearly all junk. True
+    # near-duplicate pairs are anchored by their UNMODIFIED tokens, which
+    # give ≥4 shared keys in small blocks (the exact token key, its
+    # soundex, its two end-grams), so capping derived blocks at 128 sheds
+    # the quadratic junk (182M → ~20M join rows) without touching the
+    # pairs the linker exists to find. Exact-token keys keep the looser
+    # ``max_block_size`` cap — token blocks are almost never hot (388k
+    # entities produced 19 token blocks over 256).
+    max_derived_block_size: int = 128
     # candidate pairs must co-occur in at least this many blocking keys.
     # True near-duplicates usually share MANY keys (common tokens, soundex
     # codes, char 4-grams) while the junk majority of blocked pairs shares
@@ -82,6 +96,14 @@ class PipelineConfig:
     # --- spark-scale knobs ---
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 2048
+    # extraction is the pipeline's most CPU-dense stage (~0.7 ms/KB — a
+    # 64 MB shuffle partition is ~45 s of single-core work), so sizing its
+    # tasks by shuffle BYTES (what shuffle.partitions/AQE give) leaves it
+    # running a handful of coarse tasks whose stragglers cap core scaling.
+    # Before extraction, chunks are round-robin repartitioned to
+    # defaultParallelism × this factor so every core gets many small,
+    # evenly-sized tasks (mega-conversation skew is spread too). 0 disables.
+    extraction_partitions_per_core: int = 4
 
     # extra entity types routed to the generic extractor
     extra_entity_types: tuple[str, ...] = field(default=())

@@ -5,8 +5,35 @@ Everything here stays inside Catalyst/whole-stage-codegen — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_OBJ_AGG_FALLBACK = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+
+def tune_object_agg(spark: SparkSession, threshold: int = 2_000_000) -> None:
+    """Keep ``collect_set``/``collect_list`` aggregations hash-based.
+
+    Spark's ObjectHashAggregateExec falls back to SORT-BASED aggregation
+    once a task's hash map holds more than
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` keys —
+    and the default is only **128**. Every build-side group-aggregate with
+    an array buffer (edge dedupe over tens of millions of occurrence rows,
+    document assembly's ``collect_list`` of turns, node alias roll-ups)
+    has far more groups than that, so by default each map task
+    external-sorts its entire input before combining: a memory-bandwidth-
+    bound stage that neither speeds up with cores on one box nor with
+    executors on a cluster (the sort happens before the exchange either
+    way). 2M keys bounds the partial-agg hash map at a few hundred MB per
+    task — far above any real per-task group count here, far below
+    executor memory — while the guard leaves any explicit user setting
+    untouched. Runtime-settable SQL conf, safe to flip per session.
+    """
+    try:
+        if spark.conf.get(_OBJ_AGG_FALLBACK) == "128":
+            spark.conf.set(_OBJ_AGG_FALLBACK, str(threshold))
+    except Exception:  # pragma: no cover - conf missing on exotic builds
+        pass
 
 
 def normalize_name_col(name: Column) -> Column:

@@ -38,6 +38,9 @@ def assemble_documents(
     ``doc_id == conv_id`` unless ``max_turns_per_doc`` splits a mega
     conversation, in which case ``doc_id = conv_id#seg<k>``.
     """
+    from graphrag_rs_spark.functions import tune_object_agg
+
+    tune_object_agg(transcripts.sparkSession)
     df = transcripts
     if max_turns_per_doc:
         df = df.withColumn(

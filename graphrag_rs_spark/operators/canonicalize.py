@@ -119,10 +119,18 @@ def candidate_pairs(
     config = config or PipelineConfig()
     keys = blocking_keys(entities)
 
-    # drop oversized blocks (Zipf-hot tokens) — the skew guard
+    # drop oversized blocks (Zipf-hot tokens) — the skew guard. Tiered:
+    # exact-token keys (|t:) keep the loose cap; derived keys (soundex |s:,
+    # end-gram |g:) live in small key spaces whose blocks pile up just
+    # under the cap at scale and carry almost only junk pairs — they get
+    # the tight cap (see config.max_derived_block_size rationale).
     key_counts = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("cnt"))
+    kind = F.substring(F.substring_index("block_key", "|", -1), 1, 1)
+    cap = F.when(kind == "t", F.lit(config.max_block_size)).otherwise(
+        F.lit(min(config.max_block_size, config.max_derived_block_size))
+    )
     good_keys = key_counts.where(
-        (F.col("cnt") > 1) & (F.col("cnt") <= config.max_block_size)
+        (F.col("cnt") > 1) & (F.col("cnt") <= cap)
     ).select("block_key")
     keys = keys.join(good_keys, "block_key")
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.functions import tune_object_agg
 from graphrag_rs_spark.operators.graph import communities, degrees
 
 
@@ -131,6 +132,7 @@ def materialize_graph(
     degree/community scans branch off it (use when not checkpointing —
     otherwise each downstream action re-runs the re-point joins)."""
     config = config or PipelineConfig()
+    tune_object_agg(edges_raw.sparkSession)
     nodes = nodes_table(clusters, entities_raw)
     if cache_intermediate:
         # nodes feeds the integrity-filter broadcast AND the output

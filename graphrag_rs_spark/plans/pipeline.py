@@ -18,6 +18,7 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, SparkSession
 
 from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.functions import tune_object_agg
 from graphrag_rs_spark.operators.assembly import assemble_documents
 from graphrag_rs_spark.operators.canonicalize import canonicalize_entities
 from graphrag_rs_spark.operators.chunking import chunk_documents
@@ -40,6 +41,7 @@ def build_graph(
 ) -> dict[str, DataFrame]:
     """Run the full build; returns every stage table by name."""
     config = config or PipelineConfig()
+    tune_object_agg(spark)
     cfg_repr = repr(sorted(asdict(config).items()))
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
 
@@ -65,6 +67,17 @@ def build_graph(
             ("chunks",),
         )
 
+    if config.extraction_partitions_per_core:
+        # balance the CPU-dense extraction stage: chunks arrive either on
+        # the assembly exchange's byte-sized partitions or (checkpointed)
+        # on a parquet scan's file-count partitions — both far coarser
+        # than ideal for ~0.7 ms/KB pandas-UDF work (see config docstring)
+        n_extract = (
+            spark.sparkContext.defaultParallelism
+            * config.extraction_partitions_per_core
+        )
+        chunks = chunks.repartition(n_extract)
+
     def _extract():
         if config.max_gleaning_rounds > 1:
             return extract_gleaning(chunks, config)
@@ -78,6 +91,12 @@ def build_graph(
     entities_raw = stage(
         "entities_raw", lambda: entities_raw_table(extraction), ("extraction",)
     )
+    if ckpt is None:
+        # both canonicalization and the node roll-up consume entities_raw;
+        # without a checkpoint, cache it (one row per distinct entity —
+        # small) so the mention roll-up over the exploded extraction runs
+        # once, not twice
+        entities_raw = entities_raw.cache()
     edges_raw = stage(
         "edges_raw",
         lambda: edges_raw_table(extraction, config.relationship_confidence),

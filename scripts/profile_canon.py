@@ -33,7 +33,8 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("profile-canon")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.local.dir", "/dev/shm/spark-graft-local")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 4))
         .config("spark.default.parallelism", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -72,7 +73,7 @@ def main():
     total0 = time.perf_counter()
 
     documents = assemble_documents(transcripts, separator=cfg.turn_separator)
-    chunks = chunk_documents(documents, cfg)
+    chunks = chunk_documents(documents, cfg).repartition(CPUS * 4)
     extraction = extract_chunks(chunks, cfg).cache()
     n = extraction.count()
     t0 = mark(f"assembly+chunking+extraction ({n} chunks)", t0)
