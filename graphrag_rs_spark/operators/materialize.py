@@ -45,6 +45,45 @@ def repoint_edges(
 
     Returns edges(subj, pred, obj, confidence, context array<string>).
     """
+    repointed, combined = repointed_occurrences(
+        edges_raw, clusters, broadcast_linkmap
+    )
+
+    # dedupe on (subj, obj, pred): max confidence, contexts unioned
+    # (groupBy does map-side partial aggregation, so hub-entity skew is
+    # absorbed by the combiner before the shuffle)
+    if combined:
+        # occurrence rows all carry the constant config confidence
+        # (edges_raw_table semantics, config/mod.rs:887-889), so max == lit
+        return (
+            repointed.groupBy("subj", "pred", "obj")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("contexts")))
+                ).alias("context"),
+            )
+            .select(
+                "subj",
+                "pred",
+                "obj",
+                F.lit(relationship_confidence).cast("float").alias("confidence"),
+                "context",
+            )
+        )
+    return repointed.groupBy("subj", "pred", "obj").agg(
+        F.max("confidence").alias("confidence"),
+        F.array_sort(F.collect_set("context_chunk")).alias("context"),
+    )
+
+
+def repointed_occurrences(
+    edges_raw: DataFrame,
+    clusters: DataFrame,
+    broadcast_linkmap: bool = True,
+) -> tuple[DataFrame, bool]:
+    """Occurrence-level triples with endpoints re-pointed to cluster ids,
+    self-loops dropped — the shared input of the context-carrying edge
+    aggregation AND the slim (subj, pred, obj) key table."""
     combined = "contexts" in edges_raw.columns
     linkmap = clusters.select("entity_id", "cluster_id")
     if broadcast_linkmap:
@@ -76,32 +115,7 @@ def repoint_edges(
         )
         .where(F.col("subj") != F.col("obj"))  # merged endpoints → self-loop → drop
     )
-
-    # dedupe on (subj, obj, pred): max confidence, contexts unioned
-    # (groupBy does map-side partial aggregation, so hub-entity skew is
-    # absorbed by the combiner before the shuffle)
-    if combined:
-        # occurrence rows all carry the constant config confidence
-        # (edges_raw_table semantics, config/mod.rs:887-889), so max == lit
-        return (
-            repointed.groupBy("subj", "pred", "obj")
-            .agg(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("contexts")))
-                ).alias("context"),
-            )
-            .select(
-                "subj",
-                "pred",
-                "obj",
-                F.lit(relationship_confidence).cast("float").alias("confidence"),
-                "context",
-            )
-        )
-    return repointed.groupBy("subj", "pred", "obj").agg(
-        F.max("confidence").alias("confidence"),
-        F.array_sort(F.collect_set("context_chunk")).alias("context"),
-    )
+    return repointed, combined
 
 
 def nodes_table(clusters: DataFrame, entities_raw: DataFrame) -> DataFrame:
@@ -128,9 +142,15 @@ def materialize_graph(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (nodes, edges, node_stats).
 
-    ``cache_intermediate`` caches the deduped edge table before the
-    degree/community scans branch off it (use when not checkpointing —
-    otherwise each downstream action re-runs the re-point joins)."""
+    ``cache_intermediate`` caches the SLIM tables that multiple consumers
+    scan (nodes; the distinct (subj, pred, obj) key set feeding degrees and
+    communities). The context-carrying edge table itself is deliberately
+    NEVER memory-cached: Spark's in-memory columnar encoder is pathological
+    on array columns (measured 255 s to cache 4.2M context-carrying rows
+    that took 31 s to COMPUTE), so persisting it costs ~8× the recompute
+    it saves. Stats consumers read the flat key table instead; callers who
+    rescan `edges` repeatedly should checkpoint it to parquet
+    (plans/checkpoint.py), which encodes arrays natively."""
     config = config or PipelineConfig()
     tune_object_agg(edges_raw.sparkSession)
     nodes = nodes_table(clusters, entities_raw)
@@ -141,21 +161,30 @@ def materialize_graph(
         edges_raw, clusters,
         relationship_confidence=config.relationship_confidence,
     )
+    # slim dedupe for stats: same key set as `edges`, no context arrays —
+    # cheap to aggregate (no array buffers), flat-column cacheable
+    repointed, _ = repointed_occurrences(edges_raw, clusters)
+    edge_keys = repointed.select("subj", "pred", "obj").distinct()
 
     # referential integrity (core/mod.rs:291-306): drop edges with unknown
     # endpoints — left-semi joins prune without widening rows
     node_ids = nodes.select(F.col("cluster_id").alias("_nid"))
-    edges = edges.join(
-        F.broadcast(node_ids), edges["subj"] == F.col("_nid"), "left_semi"
-    )
-    edges = edges.join(
-        F.broadcast(node_ids), edges["obj"] == F.col("_nid"), "left_semi"
-    )
-    if cache_intermediate:
-        edges = edges.cache()
 
-    deg = degrees(edges, src="subj", dst="obj")
-    comm = communities(edges, src="subj", dst="obj")
+    def integrity(df: DataFrame) -> DataFrame:
+        df = df.join(
+            F.broadcast(node_ids), df["subj"] == F.col("_nid"), "left_semi"
+        )
+        return df.join(
+            F.broadcast(node_ids), df["obj"] == F.col("_nid"), "left_semi"
+        )
+
+    edges = integrity(edges)
+    edge_keys = integrity(edge_keys)
+    if cache_intermediate:
+        edge_keys = edge_keys.cache()
+
+    deg = degrees(edge_keys, src="subj", dst="obj")
+    comm = communities(edge_keys, src="subj", dst="obj")
 
     node_stats = (
         nodes.select("cluster_id")

@@ -95,8 +95,14 @@ def build_graph(
         # both canonicalization and the node roll-up consume entities_raw;
         # without a checkpoint, cache it (one row per distinct entity —
         # small) so the mention roll-up over the exploded extraction runs
-        # once, not twice
+        # once, not twice. POPULATE it eagerly: canonicalization's first
+        # job scans this table from three stages (blocking keys + both
+        # scorer meta joins); against a cold cache those stages race to
+        # compute the same partitions and re-run extraction concurrently —
+        # measured ~2× the whole build. One count() here pays the
+        # extraction pass exactly once, warm for every later scan.
         entities_raw = entities_raw.cache()
+        entities_raw.count()
     edges_raw = stage(
         "edges_raw",
         lambda: edges_raw_table(extraction, config.relationship_confidence),

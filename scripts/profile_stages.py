@@ -18,7 +18,8 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("profile")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.local.dir", "/dev/shm/spark-graft-local")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "16g")

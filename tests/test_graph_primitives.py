@@ -106,6 +106,21 @@ def test_two_level_cc_spans_partitions(spark):
     assert got == truth
 
 
+def test_two_level_cc_intermediate_contraction_round(spark):
+    """The large-input variant (n_edges hint > 2M) inserts an extra
+    contraction round before the single-task merge; the star-forest-union
+    argument applies recursively, so the result must be identical."""
+    from graphrag_rs_spark.operators.graph import _two_level_cc
+
+    edges, truth = _random_component_graph(seed=31, n_components=15)
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    got = {
+        r["id"]: r["component"]
+        for r in _two_level_cc(df, "src", "dst", n_edges=5_000_000).collect()
+    }
+    assert got == truth
+
+
 def test_greedy_replay_is_seed_local_not_transitive():
     """Greedy semantics over the match edges: a seed absorbs only its OWN
     above-threshold neighbors — a chain A-B-C with no A-C edge must split
