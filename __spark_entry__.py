@@ -569,53 +569,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_bruteforce"] = knn_exact
 
-    def _knn_recall_shape(spark, sf_dir, approx_fn, bound):
-        """Recall-shaped approximate-KNN check: the rows are the EXACT
-        brute-force top-k (which DuckDB recomputes from scratch) plus one
-        constant flag asserting the approximate operator's per-query recall
-        vs that exact top-k clears ``bound`` — the oracle pins TRUE."""
+    # Uniform-random embeddings are LSH's adversarial case (top-10 cosine
+    # ≈ 0.35 ⇒ per-plane agreement only ≈ 0.61), so the driver entries use
+    # wider probes than the defaults; measured per-query recall under the
+    # fixed seed is ≥ 0.7 for both methods — the 0.5 bound leaves margin.
+    def knn_ann_recall(spark, sf_dir):
+        """Recall-shaped check for BOTH approximate KNN operators in one
+        entry: the rows are the EXACT brute-force top-k (which DuckDB
+        recomputes from scratch) tagged once per method, plus a per-method
+        flag asserting that method's min per-query recall vs the exact
+        top-k clears 0.5 — the oracle pins TRUE for both. The exact side
+        is computed ONCE (localCheckpoint — 50 rows) and shared by the LSH
+        and IVF recall joins; IVF skips its Lloyd refinement here
+        (lloyd_iters=0) since fixture recall is carried by n_probe=8."""
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        exact = brute_force_knn(emb, qs, k=10)
-        approx = approx_fn(emb, qs, k=10)
-        hits = exact.join(
-            approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
-            "left_semi",
-        )
-        ok = (
-            hits.groupBy("query_id")
-            .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
-            .agg(F.min("recall").alias("mr"))
-            .select((F.col("mr") >= F.lit(bound)).alias("recall_ok"))
-        )
-        return exact.crossJoin(F.broadcast(ok)).select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("rank").cast("long").alias("rank"),
-            "recall_ok",
-        )
+        exact = brute_force_knn(emb, qs, k=10).localCheckpoint(eager=True)
 
-    # Uniform-random embeddings are LSH's adversarial case (top-10 cosine
-    # ≈ 0.35 ⇒ per-plane agreement only ≈ 0.61), so the driver entries use
-    # wider probes than the defaults; measured per-query recall under the
-    # fixed seed is ≥ 0.7 for both — the 0.5 bound leaves margin.
-    def knn_lsh_q(spark, sf_dir):
-        def approx(emb, qs, k):
-            return lsh_knn(emb, qs, k=k, n_planes=3, n_tables=8)
+        def flagged(method, approx):
+            hits = exact.join(
+                approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
+                "left_semi",
+            )
+            ok = (
+                hits.groupBy("query_id")
+                .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
+                .agg(F.min("recall").alias("mr"))
+                .select((F.col("mr") >= F.lit(0.5)).alias("recall_ok"))
+            )
+            return exact.crossJoin(F.broadcast(ok)).select(
+                F.lit(method).alias("method"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("rank").cast("long").alias("rank"),
+                "recall_ok",
+            )
 
-        return _knn_recall_shape(spark, sf_dir, approx, bound=0.5)
+        lsh = lsh_knn(emb, qs, k=10, n_planes=3, n_tables=8)
+        ivf = ivf_knn(emb, qs, k=10, n_probe=8, lloyd_iters=0)
+        return flagged("lsh", lsh).unionByName(flagged("ivf", ivf))
 
-    q["knn_lsh"] = knn_lsh_q
-
-    def knn_ivf_q(spark, sf_dir):
-        def approx(emb, qs, k):
-            return ivf_knn(emb, qs, k=k, n_probe=8)
-
-        return _knn_recall_shape(spark, sf_dir, approx, bound=0.5)
-
-    q["knn_ivf"] = knn_ivf_q
+    q["knn_ann_recall"] = knn_ann_recall
 
     # ---- retrieval / query-side operators ----
     def bm25_topk(spark, sf_dir):
@@ -1840,7 +1836,7 @@ def oracle_sql() -> dict[str, str]:
     # recall-shaped approximate-KNN checks: exact top-k recomputed here,
     # recall_ok pinned TRUE (the Spark side computes the actual recall of
     # the approximate operator vs its own exact baseline)
-    _KNN_EXACT_FLAG = """
+    o["knn_ann_recall"] = """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < 5
@@ -1852,12 +1848,11 @@ def oracle_sql() -> dict[str, str]:
                             e.vec_id) AS rank
           FROM embeddings e CROSS JOIN q
         )
-        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+        SELECT m.method, query_id, vec_id, CAST(rank AS BIGINT) AS rank,
                TRUE AS recall_ok
-        FROM s WHERE rank <= 10
+        FROM s CROSS JOIN (VALUES ('lsh'), ('ivf')) AS m(method)
+        WHERE rank <= 10
     """
-    o["knn_lsh"] = _KNN_EXACT_FLAG
-    o["knn_ivf"] = _KNN_EXACT_FLAG
 
     o["semantic_edges_lsh"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

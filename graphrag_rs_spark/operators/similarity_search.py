@@ -180,15 +180,20 @@ def ivf_knn(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF: corpus assigned to nearest of ``n_centroids`` centroids (seeded
-    deterministic sample + one Lloyd refinement, computed once); each query
-    probes its ``n_probe`` nearest centroid lists and re-scores exactly.
+    deterministic sample + ``lloyd_iters`` Lloyd refinements, computed
+    once); each query probes its ``n_probe`` nearest centroid lists and
+    re-scores exactly.
 
     Training is inherently multi-pass (sample → assign → refine →
     re-assign), so the corpus projection is cached for the duration —
     the standard IVF build shape; at cluster scale this is the persisted
-    assignment table."""
+    assignment table. ``lloyd_iters=0`` skips the refinement (centroids =
+    the seeded sample), collapsing the build to a single assignment pass —
+    the right trade for latency-sensitive small fixtures where recall is
+    driven by ``n_probe``, not centroid quality."""
     vectors = vectors.select(id_col, vec_col).cache()
     # deterministic centroid init: first n_centroids by hash order
     sample = (
@@ -223,22 +228,26 @@ def ivf_knn(
 
         return assign(F.col(vec_col))
 
-    assigned = vectors.select(
-        F.col(id_col), F.col(vec_col), best_centroid(init).alias("cell")
-    )
-    # one Lloyd pass: recompute centroids as per-cell means (JVM aggregate)
     dim = len(init[0]) if init else 0
-    means = (
-        assigned.groupBy("cell")
-        .agg(
-            F.array(
-                *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
-            ).alias("centroid")
+    final = init
+    for _ in range(max(0, lloyd_iters)):
+        assigned = vectors.select(
+            F.col(id_col), F.col(vec_col), best_centroid(final).alias("cell")
         )
-        .collect()
-    )
-    centroids = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in means}
-    final = [centroids.get(i, init[i]) for i in range(len(init))]
+        # one Lloyd pass: recompute centroids as per-cell means (JVM agg)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        centroids = {
+            int(r["cell"]): [float(x) for x in r["centroid"]] for r in means
+        }
+        final = [centroids.get(i, final[i]) for i in range(len(final))]
 
     assigned = vectors.select(
         F.col(id_col), F.col(vec_col), best_centroid(final).alias("cell")
