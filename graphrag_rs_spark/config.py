@@ -67,6 +67,23 @@ class PipelineConfig:
     # ``max_block_size`` cap — token blocks are almost never hot (388k
     # entities produced 19 token blocks over 256).
     max_derived_block_size: int = 128
+    # Over-cap blocks are NOT dropped wholesale: they fall back to
+    # sorted-neighborhood pair generation (classic SNM from the record-
+    # linkage literature) — members sorted by normalized name, pairs
+    # emitted within a sliding window of this many neighbors. O(n·w)
+    # instead of C(n,2), so a hot block contributes linear work while a
+    # true near-duplicate pair (typo variants sort adjacently) still
+    # surfaces even when EVERY key it shares is hot — the failure mode a
+    # hard drop has for single-token names whose only shared keys are
+    # derived (soundex/end-gram) blocks. 0 disables the fallback
+    # (pre-round-3 behavior: over-cap blocks shed entirely).
+    hot_block_window: int = 8
+    # Hard ceiling for the SNM fallback: blocks beyond this are dropped
+    # (as all over-cap blocks were before). Bounds the collect_set
+    # aggregation buffer of a single hot key to ~a few MB of strings; a
+    # derived block this size is junk-dominated by construction (the
+    # fixture's hottest derived block at 388k entities was <5k members).
+    max_window_block_size: int = 65536
     # candidate pairs must co-occur in at least this many blocking keys.
     # True near-duplicates usually share MANY keys (common tokens, soundex
     # codes, char 4-grams) while the junk majority of blocked pairs shares
@@ -79,6 +96,11 @@ class PipelineConfig:
     # --- graph materialization ---
     # salting fan-out for hub-entity edge re-pointing joins
     salt_buckets: int = 16
+    # ObjectHashAggregate sort-fallback key threshold applied SESSION-WIDE
+    # by the pipeline (see functions.tune_object_agg — the outputs are lazy
+    # so the conf must outlive build_graph). 0 leaves the session conf
+    # untouched; functions.restore_object_agg(spark) undoes it.
+    object_agg_threshold: int = 2_000_000
 
     # --- embeddings stage (vector/mod.rs:559-685 hash embeddings;
     # retrieval/mod.rs:425-458: chunks embed content, entities embed

@@ -28,12 +28,45 @@ def tune_object_agg(spark: SparkSession, threshold: int = 2_000_000) -> None:
     task — far above any real per-task group count here, far below
     executor memory — while the guard leaves any explicit user setting
     untouched. Runtime-settable SQL conf, safe to flip per session.
+
+    **This change is SESSION-WIDE and intentionally persists** past the
+    pipeline call that triggered it: the pipeline returns *lazy*
+    DataFrames, so the heavy collect_list/collect_set aggregations run
+    whenever the caller takes an action — the conf must still be set
+    then. The trade-off is count-based: the fallback counts KEYS, not
+    bytes, and ObjectHashAggregate buffers are not tracked by the task
+    memory manager, so a session whose OTHER jobs aggregate huge array
+    buffers per group now risks spill-less memory pressure instead of
+    degrading to sort. Callers who share a session with such jobs should
+    call ``restore_object_agg(spark)`` after materializing the pipeline
+    outputs, or pass ``object_agg_threshold=0`` in ``PipelineConfig`` to
+    leave the conf untouched.
     """
+    if threshold <= 0:
+        return
     try:
-        if spark.conf.get(_OBJ_AGG_FALLBACK) == "128":
+        prior = spark.conf.get(_OBJ_AGG_FALLBACK)
+        if prior == "128":
+            _PRIOR_OBJ_AGG.setdefault(id(spark), prior)
             spark.conf.set(_OBJ_AGG_FALLBACK, str(threshold))
     except Exception:  # pragma: no cover - conf missing on exotic builds
         pass
+
+
+_PRIOR_OBJ_AGG: dict[int, str] = {}
+
+
+def restore_object_agg(spark: SparkSession) -> None:
+    """Undo :func:`tune_object_agg` for this session (no-op if it never
+    changed anything). Call after the pipeline's returned DataFrames have
+    been fully materialized, when the session goes on to run unrelated
+    aggregation-heavy jobs."""
+    prior = _PRIOR_OBJ_AGG.pop(id(spark), None)
+    if prior is not None:
+        try:
+            spark.conf.set(_OBJ_AGG_FALLBACK, prior)
+        except Exception:  # pragma: no cover
+            pass
 
 
 def normalize_name_col(name: Column) -> Column:

@@ -105,10 +105,16 @@ def blocking_keys(entities: DataFrame) -> DataFrame:
                         keys.add(f"{etype}|g:{tok[:4]}")
                         keys.add(f"{etype}|g:{tok[-4:]}")
                 for k in keys:
-                    out.append((k, eid))
-            yield pd.DataFrame(out, columns=["block_key", "entity_id"])
+                    out.append((k, eid, norm))
+            yield pd.DataFrame(
+                out, columns=["block_key", "entity_id", "norm_name"]
+            )
 
-    return normed.mapInPandas(gen_keys, schema="block_key string, entity_id string")
+    # norm_name rides along so over-cap blocks can sort members by name
+    # for the sorted-neighborhood fallback without a join back to entities
+    return normed.mapInPandas(
+        gen_keys, schema="block_key string, entity_id string, norm_name string"
+    )
 
 
 def candidate_pairs(
@@ -130,40 +136,87 @@ def candidate_pairs(
     config = config or PipelineConfig()
     keys = blocking_keys(entities)
 
-    # gather blocks; drop oversized ones (Zipf-hot tokens) — the skew
-    # guard. Tiered: exact-token keys (|t:) keep the loose cap; derived
-    # keys (soundex |s:, end-gram |g:) live in small key spaces whose
-    # blocks pile up just under the cap at scale and carry almost only
-    # junk pairs — they get the tight cap (see config.max_derived_block_size
-    # rationale). array_sort gives pair order id1 < id2 by construction.
+    # gather blocks. Tiered caps for FULL C(n,2) expansion: exact-token
+    # keys (|t:) keep the loose cap; derived keys (soundex |s:, end-gram
+    # |g:) live in small key spaces whose blocks pile up just under the cap
+    # at scale and carry almost only junk pairs — they get the tight cap
+    # (see config.max_derived_block_size rationale). Blocks OVER their cap
+    # are no longer shed wholesale: up to max_window_block_size members
+    # they fall back to sorted-neighborhood pairs (members sorted by
+    # normalized name, sliding window of hot_block_window neighbors —
+    # O(n·w)), so a true near-dup pair whose every shared key is hot
+    # (single-token name + typo: no shared exact-token key, hot
+    # soundex/end-gram blocks) still reaches the scorer. collect_set of
+    # (norm, id) structs sorts members by name for the window; pair id
+    # order is normalized in the expander.
     kind = F.substring(F.substring_index("block_key", "|", -1), 1, 1)
     cap = F.when(kind == "t", F.lit(config.max_block_size)).otherwise(
         F.lit(min(config.max_block_size, config.max_derived_block_size))
     )
+    hard_max = (
+        max(config.max_window_block_size, config.max_block_size)
+        if config.hot_block_window > 0
+        else None
+    )
     blocks = (
         keys.groupBy("block_key")
-        .agg(F.array_sort(F.collect_set("entity_id")).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= cap))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("norm_name", "entity_id"))
+            ).alias("members"),
+            F.max(cap).alias("cap"),
+        )
+        .where(
+            (F.size("members") > 1)
+            & (F.size("members") <= F.lit(hard_max) if hard_max
+               else (F.size("members") <= F.col("cap")))
+        )
+        .select("members", "cap")
     )
 
-    # expand each block to its C(n,2) ordered pairs in an Arrow-batched
-    # pass (ids are sorted, so combinations emit id1 < id2 directly).
-    # NOT a nested higher-order expression: HigherOrderFunction exprs are
+    # expand each block to ordered pairs in an Arrow-batched pass: full
+    # C(n,2) when the block is within its cap, sliding-window pairs over
+    # the name-sorted members when over (SNM fallback). NOT a nested
+    # higher-order expression: HigherOrderFunction exprs are
     # CodegenFallback (interpreted per element — measured 3× slower than
     # the whole previous self-join), and not a self-join: that would scan
     # the block-gather shuffle twice and re-run the blocking UDF chain.
+    # Pair lists flush every ~1M rows so one Arrow batch of big blocks
+    # (2048 rows × up to C(1024,2) pairs each) never accumulates multi-GB
+    # in the Python worker before the first yield.
+    window = config.hot_block_window
+    flush_rows = 1_000_000
+
     def expand_blocks(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from itertools import combinations
 
         import pandas as pd
 
+        out1: list[str] = []
+        out2: list[str] = []
+
+        def emit(a: str, b: str) -> None:
+            if a < b:
+                out1.append(a)
+                out2.append(b)
+            elif b < a:
+                out1.append(b)
+                out2.append(a)
+
         for pdf in batches:
-            out1: list[str] = []
-            out2: list[str] = []
-            for ids in pdf["ids"]:
-                for a, b in combinations(ids, 2):
-                    out1.append(a)
-                    out2.append(b)
+            for members, blk_cap in zip(pdf["members"], pdf["cap"]):
+                ids = [m["entity_id"] for m in members]
+                if len(ids) <= blk_cap:
+                    for a, b in combinations(ids, 2):
+                        emit(a, b)
+                elif window > 0:
+                    for i in range(len(ids) - 1):
+                        for j in range(i + 1, min(i + 1 + window, len(ids))):
+                            emit(ids[i], ids[j])
+                if len(out1) >= flush_rows:
+                    yield pd.DataFrame({"id1": out1, "id2": out2})
+                    out1, out2 = [], []
+        if out1:
             yield pd.DataFrame({"id1": out1, "id2": out2})
 
     # multi-pass blocking: keep only pairs sharing >= min_shared_blocks

@@ -2,12 +2,13 @@
 
 Image/audio/video payloads are ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves are STUBBED in this
-container (no image/audio libraries available): ``decode="fake"`` produces
-a deterministic fake decode (byte-statistics features) so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested;
-``decode="real"`` raises ``NotImplementedError`` at the exact spot where a
-PIL/ffmpeg kernel would plug in.
+``mapInPandas`` stages. ``decode="fake"`` produces a deterministic fake
+decode (byte-statistics features) that exercises the full distributed
+path for ANY payload; ``decode="real"`` runs actual pure-stdlib decoders
+(rules/media.py: PNG via zlib inflate + scanline de-filter, WAV via the
+``wave`` module) — formats needing external codecs (JPEG, MP4, …) raise
+``ValueError`` at the same integration point where a PIL/ffmpeg kernel
+would plug in.
 """
 
 from __future__ import annotations
@@ -46,13 +47,36 @@ def extract_features(
     """Per-payload feature vectors via ``mapInPandas`` (Arrow binary batches).
 
     ``fake``: deterministic byte-histogram features (tests the full
-    distributed path). ``real``: the integration point for an actual
-    decoder — raises NotImplementedError in this container.
+    distributed path on any payload). ``real``: decodes the payload with
+    the stdlib kernels (PNG → normalized luminance histogram over decoded
+    pixels; WAV → normalized amplitude histogram over decoded samples);
+    unsupported formats raise ``ValueError`` — the PIL/ffmpeg plug point.
     """
 
     def feat_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
+
+        from graphrag_rs_spark.rules import media as media_rules
+
+        def real_features(buf: bytes) -> "np.ndarray":
+            mime = media_rules.sniff_mime(buf)
+            if mime == "image/png":
+                px = media_rules.decode_png(buf)["pixels"]
+                lum = px.mean(axis=2).ravel()  # luminance proxy
+                hist, _ = np.histogram(lum, bins=n_features, range=(0, 256))
+                return (hist / max(1, lum.size)).astype(np.float32)
+            if mime == "audio/wav":
+                s = media_rules.decode_wav(buf)["samples"].astype(np.float64)
+                hist, _ = np.histogram(
+                    s.ravel(), bins=n_features, range=(-32768, 32768)
+                )
+                return (hist / max(1, s.size)).astype(np.float32)
+            raise ValueError(
+                "real decode supports PNG/WAV in this container; "
+                f"got unrecognized payload ({len(buf)} bytes) — plug a "
+                "PIL/ffmpeg kernel here for other formats"
+            )
 
         for pdf in batches:
             rows = []
@@ -61,15 +85,16 @@ def extract_features(
             ):
                 buf = bytes(payload or b"")
                 if decode == "real":
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg — not in container"
-                    )
-                arr = np.frombuffer(buf, dtype=np.uint8)
-                if arr.size:
-                    hist, _ = np.histogram(arr, bins=n_features, range=(0, 256))
-                    feats = (hist / arr.size).astype(np.float32)
+                    feats = real_features(buf)
                 else:
-                    feats = np.zeros(n_features, dtype=np.float32)
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    if arr.size:
+                        hist, _ = np.histogram(
+                            arr, bins=n_features, range=(0, 256)
+                        )
+                        feats = (hist / arr.size).astype(np.float32)
+                    else:
+                        feats = np.zeros(n_features, dtype=np.float32)
                 rows.append((media_id, kind, len(buf), [float(x) for x in feats]))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "n_bytes", "features"]
@@ -77,6 +102,61 @@ def extract_features(
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         feat_batches, schema=FEATURES_SCHEMA
+    )
+
+
+DECODED_SCHEMA = (
+    "media_id string, kind string, mime string, width int, height int, "
+    "channels int, duration_ms int, sample_rate int, ok boolean, err string"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real decode pass: fills the typed metadata the ``media_table`` stub
+    leaves NULL — PNG dimensions/channels, WAV duration/sample-rate — via
+    the pure-stdlib kernels (rules/media.py). Undecodable payloads come
+    back with ``ok=false`` and the error string instead of failing the
+    stage (at 100 TB a corrupt payload must not kill the job)."""
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from graphrag_rs_spark.rules import media as media_rules
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = bytes(payload or b"")
+                try:
+                    mime = media_rules.sniff_mime(buf)
+                    if mime == "image/png":
+                        d = media_rules.decode_png(buf)
+                        rows.append((media_id, kind, mime, d["width"],
+                                     d["height"], d["channels"], None, None,
+                                     True, None))
+                    elif mime == "audio/wav":
+                        d = media_rules.decode_wav(buf)
+                        rows.append((media_id, kind, mime, None, None,
+                                     d["channels"], d["duration_ms"],
+                                     d["sample_rate"], True, None))
+                    else:
+                        rows.append((media_id, kind, None, None, None, None,
+                                     None, None, False,
+                                     "unrecognized format (PNG/WAV supported)"))
+                except Exception as e:  # noqa: BLE001 — per-payload isolation
+                    rows.append((media_id, kind, None, None, None, None,
+                                 None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "width", "height",
+                         "channels", "duration_ms", "sample_rate", "ok",
+                         "err"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
     )
 
 

@@ -41,7 +41,7 @@ def build_graph(
 ) -> dict[str, DataFrame]:
     """Run the full build; returns every stage table by name."""
     config = config or PipelineConfig()
-    tune_object_agg(spark)
+    tune_object_agg(spark, config.object_agg_threshold)
     cfg_repr = repr(sorted(asdict(config).items()))
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
 

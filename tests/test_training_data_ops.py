@@ -233,10 +233,12 @@ def test_multimodal_features_deterministic(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_rejects_unknown_formats(spark):
+    # the PIL/ffmpeg plug point: formats outside the stdlib kernels
+    # (PNG/WAV — see tests/test_media_decode.py for the real paths) raise
     df = spark.createDataFrame([(1, b"abc")], "media_id long, payload binary")
     media = media_table(df, "payload", "image", "media_id")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="ValueError|PNG/WAV"):
         extract_features(media, decode="real").collect()
 
 
