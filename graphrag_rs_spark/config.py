@@ -67,22 +67,24 @@ class PipelineConfig:
     # ``max_block_size`` cap — token blocks are almost never hot (388k
     # entities produced 19 token blocks over 256).
     max_derived_block_size: int = 128
-    # Over-cap blocks are NOT dropped wholesale: they fall back to
-    # sorted-neighborhood pair generation (classic SNM from the record-
-    # linkage literature) — members sorted by normalized name, pairs
-    # emitted within a sliding window of this many neighbors. O(n·w)
-    # instead of C(n,2), so a hot block contributes linear work while a
-    # true near-duplicate pair (typo variants sort adjacently) still
-    # surfaces even when EVERY key it shares is hot — the failure mode a
-    # hard drop has for single-token names whose only shared keys are
-    # derived (soundex/end-gram) blocks. 0 disables the fallback
-    # (pre-round-3 behavior: over-cap blocks shed entirely).
+    # Rescue window for STRANDED entities in over-cap blocks: an entity
+    # with no surviving exact-token block (single-token name whose token
+    # block is hot/absent — its typo twin shares only derived keys, all of
+    # which may be over-cap) would otherwise lose every route to the
+    # scorer. Such entities get sorted-neighborhood pairs (record-linkage
+    # SNM: members sorted by normalized name, this many neighbors each
+    # side) inside their over-cap blocks, and those pairs bypass the
+    # min_shared_blocks gate. Rescue is deliberately NOT applied to
+    # anchored members: indiscriminate SNM over hot blocks measured 1.5
+    # points WORSE planted-truth recall at 5k convs (extra hot-family
+    # pairs reorder the greedy merge). 0 disables rescue (pre-round-3
+    # behavior: over-cap blocks shed entirely, stranded or not).
     hot_block_window: int = 8
-    # Hard ceiling for the SNM fallback: blocks beyond this are dropped
-    # (as all over-cap blocks were before). Bounds the collect_set
-    # aggregation buffer of a single hot key to ~a few MB of strings; a
-    # derived block this size is junk-dominated by construction (the
-    # fixture's hottest derived block at 388k entities was <5k members).
+    # Hard ceiling for rescue-eligible blocks: beyond this the block is
+    # dropped outright (as all over-cap blocks were before). Bounds the
+    # collect_set aggregation buffer of a single hot key to ~a few MB of
+    # strings; a derived block this size is junk-dominated by construction
+    # (the hottest derived block at 388k entities was <5k members).
     max_window_block_size: int = 65536
     # candidate pairs must co-occur in at least this many blocking keys.
     # True near-duplicates usually share MANY keys (common tokens, soundex

@@ -141,28 +141,54 @@ def candidate_pairs(
     # |g:) live in small key spaces whose blocks pile up just under the cap
     # at scale and carry almost only junk pairs — they get the tight cap
     # (see config.max_derived_block_size rationale). Blocks OVER their cap
-    # are no longer shed wholesale: up to max_window_block_size members
-    # they fall back to sorted-neighborhood pairs (members sorted by
-    # normalized name, sliding window of hot_block_window neighbors —
-    # O(n·w)), so a true near-dup pair whose every shared key is hot
-    # (single-token name + typo: no shared exact-token key, hot
-    # soundex/end-gram blocks) still reaches the scorer. collect_set of
-    # (norm, id) structs sorts members by name for the window; pair id
-    # order is normalized in the expander.
+    # are no longer a recall cliff for STRANDED entities: an entity with no
+    # surviving exact-token block (single-token name whose token block is
+    # hot or absent — its typo twin shares only derived keys) gets
+    # sorted-neighborhood rescue pairs inside hot blocks (members sorted by
+    # normalized name, window of hot_block_window neighbors around each
+    # stranded member — O(#stranded·w)). Anchored members of hot blocks
+    # are NOT window-paired: measured at 5k convs the indiscriminate SNM
+    # variant ADDED hot-family pairs that changed greedy merge order and
+    # cost 1.5 points of planted-truth recall (0.9661 → 0.9515) — extra
+    # candidates are not free when downstream clustering is greedy.
     kind = F.substring(F.substring_index("block_key", "|", -1), 1, 1)
     cap = F.when(kind == "t", F.lit(config.max_block_size)).otherwise(
         F.lit(min(config.max_block_size, config.max_derived_block_size))
     )
+    window = config.hot_block_window
     hard_max = (
         max(config.max_window_block_size, config.max_block_size)
-        if config.hot_block_window > 0
+        if window > 0
         else None
     )
+
+    if window > 0:
+        # stranded = no exact-token block of usable size [2, max_block_size].
+        # One aligned groupBy over the (small) token-key subset + a join
+        # back on entity_id; AQE broadcasts the anchored side when small.
+        tok = keys.where(kind == "t")
+        usable = (
+            tok.groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where((F.col("_n") > 1) & (F.col("_n") <= config.max_block_size))
+        )
+        anchored = (
+            tok.join(usable, "block_key")
+            .select("entity_id")
+            .distinct()
+            .withColumn("_anchored", F.lit(True))
+        )
+        keys = keys.join(anchored, "entity_id", "left").withColumn(
+            "_anchored", F.coalesce("_anchored", F.lit(False))
+        )
+    else:
+        keys = keys.withColumn("_anchored", F.lit(True))
+
     blocks = (
         keys.groupBy("block_key")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct("norm_name", "entity_id"))
+                F.collect_set(F.struct("norm_name", "entity_id", "_anchored"))
             ).alias("members"),
             F.max(cap).alias("cap"),
         )
@@ -175,16 +201,15 @@ def candidate_pairs(
     )
 
     # expand each block to ordered pairs in an Arrow-batched pass: full
-    # C(n,2) when the block is within its cap, sliding-window pairs over
-    # the name-sorted members when over (SNM fallback). NOT a nested
-    # higher-order expression: HigherOrderFunction exprs are
-    # CodegenFallback (interpreted per element — measured 3× slower than
-    # the whole previous self-join), and not a self-join: that would scan
-    # the block-gather shuffle twice and re-run the blocking UDF chain.
-    # Pair lists flush every ~1M rows so one Arrow batch of big blocks
-    # (2048 rows × up to C(1024,2) pairs each) never accumulates multi-GB
-    # in the Python worker before the first yield.
-    window = config.hot_block_window
+    # C(n,2) when the block is within its cap; rescue window pairs around
+    # stranded members when over. NOT a nested higher-order expression:
+    # HigherOrderFunction exprs are CodegenFallback (interpreted per
+    # element — measured 3× slower than the whole previous self-join), and
+    # not a self-join: that would scan the block-gather shuffle twice and
+    # re-run the blocking UDF chain. Pair lists flush every ~1M rows so
+    # one Arrow batch of big blocks (2048 rows × up to C(1024,2) pairs
+    # each) never accumulates multi-GB in the Python worker before the
+    # first yield.
     flush_rows = 1_000_000
 
     def expand_blocks(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -194,38 +219,55 @@ def candidate_pairs(
 
         out1: list[str] = []
         out2: list[str] = []
+        outr: list[bool] = []
 
-        def emit(a: str, b: str) -> None:
-            if a < b:
-                out1.append(a)
-                out2.append(b)
-            elif b < a:
-                out1.append(b)
-                out2.append(a)
+        def emit(a: str, b: str, rescue: bool) -> None:
+            if a == b:
+                return
+            if b < a:
+                a, b = b, a
+            out1.append(a)
+            out2.append(b)
+            outr.append(rescue)
 
         for pdf in batches:
             for members, blk_cap in zip(pdf["members"], pdf["cap"]):
                 ids = [m["entity_id"] for m in members]
                 if len(ids) <= blk_cap:
                     for a, b in combinations(ids, 2):
-                        emit(a, b)
+                        emit(a, b, False)
                 elif window > 0:
-                    for i in range(len(ids) - 1):
-                        for j in range(i + 1, min(i + 1 + window, len(ids))):
-                            emit(ids[i], ids[j])
+                    n = len(ids)
+                    for i, m in enumerate(members):
+                        if m["_anchored"]:
+                            continue
+                        for j in range(max(0, i - window),
+                                       min(n, i + window + 1)):
+                            emit(ids[i], ids[j], True)
                 if len(out1) >= flush_rows:
-                    yield pd.DataFrame({"id1": out1, "id2": out2})
-                    out1, out2 = [], []
+                    yield pd.DataFrame(
+                        {"id1": out1, "id2": out2, "rescue": outr}
+                    )
+                    out1, out2, outr = [], [], []
         if out1:
-            yield pd.DataFrame({"id1": out1, "id2": out2})
+            yield pd.DataFrame({"id1": out1, "id2": out2, "rescue": outr})
 
-    # multi-pass blocking: keep only pairs sharing >= min_shared_blocks
-    # keys (true near-dups share many; the junk majority shares one)
+    # multi-pass blocking: keep pairs sharing >= min_shared_blocks keys
+    # (true near-dups share many; the junk majority shares one). Rescue
+    # pairs bypass the gate — a stranded entity's only shared keys are hot
+    # derived blocks, so by construction it can rarely reach 2.
     pairs = (
-        blocks.mapInPandas(expand_blocks, schema="id1 string, id2 string")
+        blocks.mapInPandas(
+            expand_blocks, schema="id1 string, id2 string, rescue boolean"
+        )
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("_nk"))
-        .where(F.col("_nk") >= config.min_shared_blocks)
+        .agg(
+            F.count(F.lit(1)).alias("_nk"),
+            F.max("rescue").alias("_rescue"),
+        )
+        .where(
+            (F.col("_nk") >= config.min_shared_blocks) | F.col("_rescue")
+        )
         .select("id1", "id2")
     )
 
