@@ -171,10 +171,15 @@ def _two_level_cc(
     )
     if n_edges is not None and n_edges > 2_000_000:
         # intermediate contraction: per-partition forests can total
-        # partitions × V rows; squeeze them through a few fat partitions
-        # (each emits ≤ its distinct nodes) so the single merge task sees
-        # a bounded input instead of the whole per-partition union
-        forest = forest.repartition(8).mapInPandas(
+        # partitions × V rows. HASH-partition the forest by node id so
+        # every claim about one id lands in the same contraction task —
+        # then each of the 8 tasks emits ≤ (its distinct ids + their
+        # roots) rows, bounding the final merge input by ~2·V regardless
+        # of how dense the original edge list was (E plays no role past
+        # round 1). A plain round-robin repartition here would let each
+        # id's rows scatter across all 8 partitions and re-inflate the
+        # merge input toward 8·V.
+        forest = forest.repartition(8, F.col("id")).mapInPandas(
             _forest, schema="id string, root string"
         )
     return forest.repartition(1).mapInPandas(
@@ -190,6 +195,7 @@ def connected_components(
     strategy: str = "auto",
     local_threshold: int = 50_000,
     two_level_threshold: int = 20_000_000,
+    two_level_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """Edge list → (id string, component string) where component is the
     minimum string member id of each connected component.
@@ -200,14 +206,22 @@ def connected_components(
       ``local_threshold`` (50k edges ≈ a few MB, sub-second): iterative
       algorithms cost ~2 shuffles × rounds of fixed job overhead that
       dwarfs tiny inputs.
-    * ``two_level`` — up to ``two_level_threshold`` edges: per-partition
-      union-find contraction + one single-task merge, all executor-side
-      (see :func:`_two_level_cc`). This is the dense-graph path: a
+    * ``two_level`` — up to ``two_level_threshold`` edges AND an estimated
+      ``two_level_max_nodes`` distinct nodes: per-partition union-find
+      contraction + one single-task merge, all executor-side (see
+      :func:`_two_level_cc`). This is the dense-graph path: a
       near-duplicate match graph routinely has E ≫ V (683k edges over 15k
       names at 4k convs), where star iterations pay ~6 shuffle rounds to
-      discover what two passes of union-find see directly.
-    * ``distributed`` — alternating large-star/small-star above that; the
-      only shape that survives billions of edges.
+      discover what two passes of union-find see directly. The merge
+      task's input is bounded by the NODE count (contraction emits ≤ one
+      row per distinct id per task), so V — estimated with one
+      approx_count_distinct pass, +10% slack for its error — is the gate
+      that matters: 8M string nodes ≈ 1.5-2 GB of union-find dict in the
+      single merge task. E only bounds round-1 work, which is
+      partition-parallel either way.
+    * ``distributed`` — alternating large-star/small-star above either
+      bound; the only shape that survives billions of edges (or a sparse
+      graph whose V alone would swamp one merge task).
 
     Deterministic: all paths map components to the MINIMUM STRING id so
     callers see identical, stable representatives.
@@ -218,7 +232,14 @@ def connected_components(
         if n <= local_threshold:
             return _local_cc(e_dedup, src, dst)
         if n <= two_level_threshold:
-            return _two_level_cc(e_dedup, src, dst, n_edges=n)
+            v_est = (
+                e_dedup.select(F.col(src).alias("id"))
+                .union(e_dedup.select(F.col(dst).alias("id")))
+                .agg(F.approx_count_distinct("id").alias("v"))
+                .collect()[0]["v"]
+            )
+            if v_est * 1.1 <= two_level_max_nodes:
+                return _two_level_cc(e_dedup, src, dst, n_edges=n)
         edges = e_dedup
     elif strategy == "local":
         return _local_cc(edges, src, dst)

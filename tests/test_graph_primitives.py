@@ -106,6 +106,44 @@ def test_two_level_cc_spans_partitions(spark):
     assert got == truth
 
 
+def test_auto_cc_node_count_gates_two_level(spark, monkeypatch):
+    """The single merge task's input is bounded by V (distinct nodes), not
+    E — so a sparse graph whose V exceeds ``two_level_max_nodes`` must
+    take the star-iteration path even when E is under the edge threshold,
+    and a dense E≫V graph stays on the two-level path."""
+    import graphrag_rs_spark.operators.graph as graph_mod
+
+    edges = [(f"x{i}", f"x{i+1}") for i in range(10)] + [("z1", "z2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    expected = {(f"x{i}", "x0") for i in range(11)} | {
+        ("z1", "z1"), ("z2", "z1")
+    }
+
+    def banned(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("two_level chosen despite V over the node gate")
+
+    monkeypatch.setattr(graph_mod, "_two_level_cc", banned)
+    got = {
+        (r["id"], r["component"])
+        for r in graph_mod.connected_components(
+            df, local_threshold=2, two_level_max_nodes=4
+        ).collect()
+    }
+    assert got == expected
+
+    monkeypatch.undo()
+    # dense variant: E ≫ V (every pair of 8 nodes, 28 edges > threshold 2)
+    dense = [(f"n{i}", f"n{j}") for i in range(8) for j in range(i + 1, 8)]
+    ddf = spark.createDataFrame(dense, "src string, dst string")
+    got = {
+        (r["id"], r["component"])
+        for r in graph_mod.connected_components(
+            ddf, local_threshold=2, two_level_max_nodes=1000
+        ).collect()
+    }
+    assert got == {(f"n{i}", "n0") for i in range(8)}
+
+
 def test_two_level_cc_intermediate_contraction_round(spark):
     """The large-input variant (n_edges hint > 2M) inserts an extra
     contraction round before the single-task merge; the star-forest-union
