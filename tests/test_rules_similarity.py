@@ -23,6 +23,43 @@ def test_jaro_winkler():  # rs:487-498
     assert jaro_winkler_similarity("abc", "xyz") < 0.3
 
 
+def test_jaro_winkler_prefix_bonus_edge_cases():
+    """Hand-derived vectors for the reference's EXACT Winkler formula
+    (string_similarity_linker.rs:252-264): ``jaro + prefix*0.1*(1-jaro)``
+    with prefix capped at 4 — applied UNCONDITIONALLY, unlike classic
+    Jaro-Winkler which only boosts above jaro 0.7. A 'fix' toward the
+    classic gate would silently change linking behavior; these pin the
+    reference's semantics."""
+    # prefix cap: 5 shared leading chars still bonus as 4.
+    # jaro("abcdezzzz","abcdeyyyy"): m=5, t=0 -> (5/9+5/9+1)/3 = 0.703703…
+    jaro = (5 / 9 + 5 / 9 + 1.0) / 3.0
+    got = jaro_winkler_similarity("abcdezzzz", "abcdeyyyy")
+    assert abs(got - (jaro + 0.4 * (1 - jaro))) < 1e-9
+
+    # unconditional bonus BELOW the classic 0.7 gate:
+    # jaro("abcd","ab"+10*"z"): m=2, t=0 -> (2/4+2/12+1)/3 = 0.555555…
+    jaro = (2 / 4 + 2 / 12 + 1.0) / 3.0
+    assert jaro < 0.7
+    got = jaro_winkler_similarity("abcd", "ab" + "z" * 10)
+    assert abs(got - (jaro + 0.2 * (1 - jaro))) < 1e-9
+
+    # transposition arithmetic: martha/marhta m=6, raw transpositions=2
+    # (halved to 1), prefix=3: jaro = (1 + 1 + (6-1)/6)/3 = 0.944444…
+    jaro = (1.0 + 1.0 + 5.0 / 6) / 3.0
+    got = jaro_winkler_similarity("martha", "marhta")
+    assert abs(got - (jaro + 0.3 * (1 - jaro))) < 1e-9
+
+    # match window: max(len)//2 - 1 = 1, so the leading 'd' of 'dabc'
+    # is out of range of s1's trailing 'd' -> m=3, t=0, prefix=0
+    jaro = (3 / 4 + 3 / 4 + 1.0) / 3.0
+    assert abs(jaro_winkler_similarity("abcd", "dabc") - jaro) < 1e-9
+
+    # degenerate inputs
+    assert jaro_winkler_similarity("", "") == 1.0
+    assert jaro_winkler_similarity("a", "") == 0.0
+    assert jaro_winkler_similarity("abc", "xyz") == 0.0  # rs asserts <0.3
+
+
 def test_jaccard():  # rs:501-509
     sim = jaccard_similarity("the quick brown fox", "the lazy brown dog")
     assert 0.3 < sim < 0.5
