@@ -104,16 +104,19 @@ def blocking_keys(entities: DataFrame) -> DataFrame:
                     if len(tok) >= 4:
                         keys.add(f"{etype}|g:{tok[:4]}")
                         keys.add(f"{etype}|g:{tok[-4:]}")
+                nk = len(keys)
                 for k in keys:
-                    out.append((k, eid, norm))
-            yield pd.DataFrame(
-                out, columns=["block_key", "entity_id", "norm_name"]
-            )
+                    out.append((k, eid, nk))
+            yield pd.DataFrame(out, columns=["block_key", "entity_id", "n_keys"])
 
-    # norm_name rides along so over-cap blocks can sort members by name
-    # for the sorted-neighborhood fallback without a join back to entities
+    # n_keys (total keys THIS entity generates) rides along so the pair
+    # gate can recognize key-poor entities: a single-token name yields at
+    # most 4 keys (token, soundex, 2 end-grams — 3 when prefix==suffix
+    # gram), so a true variant pair involving one can structurally share
+    # only 1-2 keys and must be exempt from min_shared_blocks (see
+    # candidate_pairs). Constant per entity — no extra shuffle.
     return normed.mapInPandas(
-        gen_keys, schema="block_key string, entity_id string, norm_name string"
+        gen_keys, schema="block_key string, entity_id string, n_keys int"
     )
 
 
@@ -164,31 +167,42 @@ def candidate_pairs(
 
     if window > 0:
         # stranded = no exact-token block of usable size [2, max_block_size].
-        # One aligned groupBy over the (small) token-key subset + a join
-        # back on entity_id; AQE broadcasts the anchored side when small.
+        # Computed as the COMPLEMENT (all ids anti-join anchored ids) so
+        # the flag joins back onto the big keys table from the SMALL side:
+        # stranded entities are rare by construction (most names share a
+        # token with someone), so AQE broadcasts them and the keys table
+        # never shuffles; the anchored set itself only shuffles the token
+        # subset of keys plus the slim entity-id column.
         tok = keys.where(kind == "t")
         usable = (
             tok.groupBy("block_key")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where((F.col("_n") > 1) & (F.col("_n") <= config.max_block_size))
         )
-        anchored = (
-            tok.join(usable, "block_key")
-            .select("entity_id")
+        anchored_ids = (
+            tok.join(usable, "block_key").select("entity_id").distinct()
+        )
+        stranded = (
+            entities.select("entity_id")
             .distinct()
-            .withColumn("_anchored", F.lit(True))
+            .join(anchored_ids, "entity_id", "left_anti")
+            .withColumn("_stranded", F.lit(True))
         )
-        keys = keys.join(anchored, "entity_id", "left").withColumn(
-            "_anchored", F.coalesce("_anchored", F.lit(False))
-        )
+        keys = keys.join(stranded, "entity_id", "left").withColumn(
+            "_anchored", F.col("_stranded").isNull()
+        ).drop("_stranded")
     else:
         keys = keys.withColumn("_anchored", F.lit(True))
 
+    # members sort by entity_id, which embeds the normalized name
+    # ({TYPE}_{normalize}) — the same neighborhood order a norm_name sort
+    # gives within a type-scoped block, without shipping the name through
+    # the gather shuffle a second time
     blocks = (
         keys.groupBy("block_key")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct("norm_name", "entity_id", "_anchored"))
+                F.collect_set(F.struct("entity_id", "_anchored", "n_keys"))
             ).alias("members"),
             F.max(cap).alias("cap"),
         )
@@ -211,17 +225,21 @@ def candidate_pairs(
     # each) never accumulates multi-GB in the Python worker before the
     # first yield.
     flush_rows = 1_000_000
+    key_poor_max = config.key_poor_max_keys
 
     def expand_blocks(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from itertools import combinations
 
         import pandas as pd
 
+        poor_max = key_poor_max
+
         out1: list[str] = []
         out2: list[str] = []
         outr: list[bool] = []
+        outp: list[bool] = []
 
-        def emit(a: str, b: str, rescue: bool) -> None:
+        def emit(a: str, b: str, rescue: bool, poor: bool) -> None:
             if a == b:
                 return
             if b < a:
@@ -229,44 +247,61 @@ def candidate_pairs(
             out1.append(a)
             out2.append(b)
             outr.append(rescue)
+            outp.append(poor)
 
         for pdf in batches:
             for members, blk_cap in zip(pdf["members"], pdf["cap"]):
                 ids = [m["entity_id"] for m in members]
-                if len(ids) <= blk_cap:
-                    for a, b in combinations(ids, 2):
-                        emit(a, b, False)
+                poor = [m["n_keys"] <= poor_max for m in members]
+                n = len(ids)
+                if n <= blk_cap:
+                    for i, j in combinations(range(n), 2):
+                        emit(ids[i], ids[j], False, poor[i] or poor[j])
                 elif window > 0:
-                    n = len(ids)
                     for i, m in enumerate(members):
                         if m["_anchored"]:
                             continue
                         for j in range(max(0, i - window),
                                        min(n, i + window + 1)):
-                            emit(ids[i], ids[j], True)
+                            emit(ids[i], ids[j], True, poor[i] or poor[j])
                 if len(out1) >= flush_rows:
                     yield pd.DataFrame(
-                        {"id1": out1, "id2": out2, "rescue": outr}
+                        {"id1": out1, "id2": out2,
+                         "rescue": outr, "keypoor": outp}
                     )
-                    out1, out2, outr = [], [], []
+                    out1, out2, outr, outp = [], [], [], []
         if out1:
-            yield pd.DataFrame({"id1": out1, "id2": out2, "rescue": outr})
+            yield pd.DataFrame(
+                {"id1": out1, "id2": out2, "rescue": outr, "keypoor": outp}
+            )
 
     # multi-pass blocking: keep pairs sharing >= min_shared_blocks keys
-    # (true near-dups share many; the junk majority shares one). Rescue
-    # pairs bypass the gate — a stranded entity's only shared keys are hot
-    # derived blocks, so by construction it can rarely reach 2.
+    # (true near-dups share many; the junk majority shares one). Two
+    # bypasses of the gate:
+    #  * rescue pairs — a stranded entity's only shared keys are hot
+    #    derived blocks, so by construction it can rarely reach 2;
+    #  * key-poor pairs — when the smaller side generates ≤ key_poor_max
+    #    total keys (a single-token name: at most t+s+2 grams = 4), a true
+    #    variant structurally shares only 1-2 keys ("Corp" ~ "Corporation"
+    #    share exactly the g:corp gram), so the ≥2 requirement is
+    #    unsatisfiable, not evidence of junk. Multi-token names (≥7 keys)
+    #    still face the full gate — they are where the junk mass lives
+    #    (hot-family pairs sharing one derived key).
     pairs = (
         blocks.mapInPandas(
-            expand_blocks, schema="id1 string, id2 string, rescue boolean"
+            expand_blocks,
+            schema="id1 string, id2 string, rescue boolean, keypoor boolean",
         )
         .groupBy("id1", "id2")
         .agg(
             F.count(F.lit(1)).alias("_nk"),
             F.max("rescue").alias("_rescue"),
+            F.max("keypoor").alias("_keypoor"),
         )
         .where(
-            (F.col("_nk") >= config.min_shared_blocks) | F.col("_rescue")
+            (F.col("_nk") >= config.min_shared_blocks)
+            | F.col("_rescue")
+            | F.col("_keypoor")
         )
         .select("id1", "id2")
     )

@@ -96,6 +96,31 @@ def test_triple_precision_recall(built):
     assert r >= 0.95, f"recall {r:.4f} < 0.95 ({len(got)} vs {len(oracle.triples)})"
 
 
+def test_triple_precision_recall_at_benched_blocking_config(spark):
+    """bench.py runs ``min_shared_blocks=2`` (the documented large-corpus
+    blocking setting); the parity fixture above runs the full-recall
+    default of 1. This closes the loop: the BENCHED config must also
+    clear the north rule's triple P/R ≥ 0.95 against the all-pairs
+    oracle. (tests/test_blocking_recall_at_scale.py covers the same
+    config at a scale where the derived-block caps bind.)"""
+    rows = generate_transcripts(N_CONVS, seed=42, mega_every=25, mega_turns=80)
+    config = PipelineConfig(min_shared_blocks=2)
+    tdf = spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp",
+    )
+    tables = build_graph(spark, tdf, config)
+    oracle = run_oracle(rows, PipelineConfig())
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["edges"].collect()
+    }
+    p, r = precision_recall(got, oracle.triples)
+    print(f"\ntriple P/R at min_shared_blocks=2: P={p:.4f} R={r:.4f}")
+    assert p >= 0.95, f"precision {p:.4f} < 0.95 at min_shared_blocks=2"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95 at min_shared_blocks=2"
+
+
 def test_node_stats_parity(built):
     tables, oracle = built
     got = {
