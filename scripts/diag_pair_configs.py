@@ -1,0 +1,98 @@
+"""A/B candidate-pair volume + scoring cost across blocking configs.
+
+    N_CONVS=25000 CPUS=16 taskset -c 0-15 python scripts/diag_pair_configs.py
+
+Times the REAL candidate_pairs → score_pairs path per config, interleaved
+rep order so ambient host noise hits all configs alike.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+N = int(os.environ.get("N_CONVS", "25000"))
+CPUS = int(os.environ.get("CPUS", "16"))
+REPS = int(os.environ.get("REPS", "1"))
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("diag-pair-configs")
+        .config("spark.local.dir", "/dev/shm/spark-graft-local")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 4))
+        .config("spark.default.parallelism", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.fixtures import ScaledVocab, transcripts_df
+    from graphrag_rs_spark.functions import tune_object_agg
+    from graphrag_rs_spark.operators.assembly import assemble_documents
+    from graphrag_rs_spark.operators.canonicalize import (
+        candidate_pairs,
+        score_pairs,
+    )
+    from graphrag_rs_spark.operators.chunking import chunk_documents
+    from graphrag_rs_spark.operators.extraction import (
+        entities_raw_table,
+        extract_chunks,
+    )
+
+    tune_object_agg(spark)
+    vocab = ScaledVocab(n_persons=max(50, N // 2), n_orgs=max(20, N // 5))
+    transcripts = transcripts_df(
+        spark, N, seed=42, distributed=True, partitions=CPUS * 4, vocab=vocab
+    )
+    documents = assemble_documents(transcripts, separator="\n")
+    base = PipelineConfig(shuffle_partitions=CPUS, min_shared_blocks=2)
+    chunks = chunk_documents(documents, base).repartition(CPUS * 4)
+    extraction = extract_chunks(chunks, base)
+    entities = entities_raw_table(extraction).localCheckpoint(eager=True)
+    print(f"entities: {entities.count()}", flush=True)
+
+    configs = {
+        "head (kp=4, win=8)": base,
+        "no-keypoor (kp=0)": PipelineConfig(
+            shuffle_partitions=CPUS, min_shared_blocks=2, key_poor_max_keys=0
+        ),
+        "no-rescue (win=0)": PipelineConfig(
+            shuffle_partitions=CPUS, min_shared_blocks=2, hot_block_window=0
+        ),
+        "neither (kp=0, win=0)": PipelineConfig(
+            shuffle_partitions=CPUS,
+            min_shared_blocks=2,
+            key_poor_max_keys=0,
+            hot_block_window=0,
+        ),
+    }
+    for r in range(REPS):
+        for name, cfg in configs.items():
+            t0 = time.perf_counter()
+            pairs = candidate_pairs(entities, cfg).localCheckpoint(eager=True)
+            n_pairs = pairs.count()
+            t1 = time.perf_counter()
+            n_match = score_pairs(pairs, cfg).count()
+            t2 = time.perf_counter()
+            print(
+                f"rep{r} {name}: pairs={n_pairs} ({t1 - t0:.1f}s) "
+                f"matches={n_match} ({t2 - t1:.1f}s)",
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
