@@ -201,8 +201,18 @@ def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     if key not in _KG_MEMO:
         tables = build_graph(spark, _fixture_transcripts(spark, sf_dir), _KG_CONFIG)
-        for name in ("clusters", "nodes", "edges", "node_stats"):
-            tables[name] = tables[name].cache()
+        # localCheckpoint (NOT .cache()) so the shared build is truly
+        # materialized once: the bench sweep calls clearCache() between
+        # entries for isolation, which would silently unpersist a SQL cache
+        # and make every later kg_* entry rebuild the whole pipeline (~10×
+        # its own stage cost). Checkpoint blocks are immune to clearCache.
+        # Only ever runs at fixture scale (≤300 convs), so eagerly
+        # materializing every stage table is cheap.
+        for name in (
+            "chunks", "mentions", "entities_raw",
+            "clusters", "nodes", "edges", "node_stats",
+        ):
+            tables[name] = tables[name].localCheckpoint(eager=True)
         _KG_MEMO[key] = tables
     return _KG_MEMO[key]
 
