@@ -34,8 +34,19 @@ def enrich_chunks(
     text_col: str = "text",
     full_text_col: str = "full_text",
     start_col: str = "start",
+    layout: str = "markdown",
 ) -> DataFrame:
-    """chunks + documents → one metadata row per chunk."""
+    """chunks + documents → one metadata row per chunk.
+
+    ``layout`` picks the structure parser: ``"markdown"`` (markdown.rs
+    port, the default and the reference's graph-build path) or
+    ``"plaintext"`` (parsers/plaintext.rs port: underline / ALL-CAPS /
+    numbered-heading heuristics for documents with no markdown markup).
+    Both emit the same Section shape, so the per-chunk metadata rules
+    (chunk_enricher.rs:82-141) compose unchanged.
+    """
+    if layout not in ("markdown", "plaintext"):
+        raise ValueError(f"unknown layout parser: {layout!r}")
 
     def enrich(chunk_pdf: "pd.DataFrame", doc_pdf: "pd.DataFrame"):
         import pandas as pd
@@ -45,7 +56,15 @@ def enrich_chunks(
             chunk_metadata,
             parse_markdown_structure,
         )
+        from graphrag_rs_spark.rules.plaintext_layout import (
+            parse_plaintext_structure,
+        )
         from graphrag_rs_spark.rules.summarize import extractive_summary
+
+        parse_structure = (
+            parse_markdown_structure if layout == "markdown"
+            else parse_plaintext_structure
+        )
 
         def tf_keywords(text: str) -> list[str]:
             from collections import Counter
@@ -69,7 +88,7 @@ def enrich_chunks(
         if len(doc_pdf) == 0 or len(chunk_pdf) == 0:
             return empty
         full_text = doc_pdf[full_text_col].iloc[0] or ""
-        sections = parse_markdown_structure(full_text)
+        sections = parse_structure(full_text)
         for _, c in chunk_pdf.iterrows():
             text = c[text_col] or ""
             summary = (
