@@ -106,6 +106,15 @@ class PipelineConfig:
     # names into triples). Multi-token names (≥7 keys) still face the
     # full gate — they carry the junk mass the gate exists to shed.
     key_poor_max_keys: int = 4
+    # Broadcast the (entity_id, type, norm_name) scorer meta onto the
+    # candidate-pair table instead of shuffle-joining it. The pair table
+    # is the stage's largest (tens of millions of rows) and meta is one
+    # slim row per DISTINCT entity (~25 MB at 388k entities), so shuffle
+    # joins would re-exchange the pair table twice right after the dedupe
+    # shuffle — measured as a dominant non-scaling fraction on a single
+    # box. Broadcast size grows with distinct entities, not corpus: ~600
+    # MB at 10M entities. Set False beyond that to restore shuffle joins.
+    broadcast_pair_meta: bool = True
 
     # --- graph materialization ---
     # salting fan-out for hub-entity edge re-pointing joins

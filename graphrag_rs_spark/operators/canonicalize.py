@@ -306,26 +306,44 @@ def candidate_pairs(
         .select("id1", "id2")
     )
 
+    # BROADCAST the scorer meta onto the pair table: the candidate set is
+    # the largest table in the whole canonicalization stage (tens of
+    # millions of rows at 100k convs) while meta is one slim row per
+    # distinct entity (~60 B × 388k ≈ 25 MB there). Shuffle-joining meta
+    # would re-exchange the pair table TWICE (once per endpoint) right
+    # after the dedupe shuffle — measured as the dominant non-scaling
+    # fraction of the build on a single box (shuffle bandwidth does not
+    # grow with cores the way it grows with executors). Broadcasting
+    # leaves exactly ONE wide exchange in the stage: the (id1, id2)
+    # dedupe itself. The broadcast grows with DISTINCT entities, not
+    # corpus size; at ~10M entities it is ~600 MB — still inside driver
+    # budgets that run builds of that scale, and `config.
+    # broadcast_pair_meta=False` restores the shuffle joins beyond it.
     meta = entities.select(
         "entity_id",
         "entity_type",
         normalize_name_col(F.col("name")).alias("norm_name"),
     )
+    bcast = (
+        F.broadcast
+        if getattr(config, "broadcast_pair_meta", True)
+        else (lambda df: df)
+    )
     return (
         pairs.join(
-            meta.select(
+            bcast(meta.select(
                 F.col("entity_id").alias("id1"),
                 F.col("entity_type").alias("type1"),
                 F.col("norm_name").alias("norm1"),
-            ),
+            )),
             "id1",
         )
         .join(
-            meta.select(
+            bcast(meta.select(
                 F.col("entity_id").alias("id2"),
                 F.col("entity_type").alias("type2"),
                 F.col("norm_name").alias("norm2"),
-            ),
+            )),
             "id2",
         )
     )
