@@ -138,6 +138,17 @@ def candidate_pairs(
     """
     config = config or PipelineConfig()
     keys = blocking_keys(entities)
+    if config.hot_block_window > 0:
+        # the stranded-entity probe references `keys` from three subtrees
+        # (token-block sizing, anchored anti-join, the gather itself) —
+        # without materialization each re-runs the blocking UDF over the
+        # entities cache and re-plans its exchange. One lazy local
+        # checkpoint stores the slim (key, id, n_keys) rows once
+        # (~45 B/row; one row per key, ~8 per entity) and every scan
+        # reuses them. At extreme entity counts prefer recompute: disable
+        # rescue (hot_block_window=0) and this materialization disappears
+        # with it.
+        keys = keys.localCheckpoint(eager=False)
 
     # gather blocks. Tiered caps for FULL C(n,2) expansion: exact-token
     # keys (|t:) keep the loose cap; derived keys (soundex |s:, end-gram

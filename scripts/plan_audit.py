@@ -106,6 +106,27 @@ def main() -> None:
         summarize(p), p,
     ))
 
+    from graphrag_rs_spark.operators.canonicalize import candidate_pairs
+    from graphrag_rs_spark.operators.extraction import entities_raw_table
+
+    # the pipeline caches entities_raw (pipeline.py) — mirror that here so
+    # the plan shows the InMemoryTableScan reality, not a re-derivation of
+    # the whole extraction chain per scan
+    entities = entities_raw_table(extraction).cache()
+    entities.count()
+    p = plan_of(candidate_pairs(entities, cfg))
+    sections.append((
+        "candidate pair generation (blocking → expand → dedupe → meta)",
+        "ONE wide exchange of the pair table (the (id1,id2) dedupe); the "
+        "scorer meta attaches via two BroadcastHashJoins — shuffle-joining "
+        "it would re-exchange the stage's largest table twice. The "
+        "anchored/stranded probe re-scans only the CACHED entities (3 "
+        "cheap blocking-UDF passes over an InMemoryTableScan); its joins "
+        "are over the slim keys table and AQE broadcasts the tiny "
+        "stranded side at runtime (static plan may show SortMergeJoin).",
+        summarize(p), p,
+    ))
+
     pruned = exact_dedup(documents.where(F.col("doc_id") > 100), "text", "doc_id")
     p = plan_of(pruned)
     sections.append((
