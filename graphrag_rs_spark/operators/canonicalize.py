@@ -493,43 +493,75 @@ def _greedy_replay_cogroup(
     component-size cap + first-token re-blocking fallback (an
     approximation AND a straggler risk) is gone entirely.
     """
+    import numpy as np
     import pandas as pd
 
     n = len(members_pdf)
-    ids = members_pdf["entity_id"].tolist()
-    confs = members_pdf["confidence"].tolist()
-    order = sorted(
-        range(n),
-        key=lambda i: (
-            members_pdf["conv_id"].iat[i],
-            int(members_pdf["chunk_idx"].iat[i]),
-            int(members_pdf["rank"].iat[i]),
-            ids[i],
-        ),
+    ids = members_pdf["entity_id"].to_numpy()
+    confs = members_pdf["confidence"].to_numpy()
+
+    # scan order: (conv_id, chunk_idx, rank, entity_id) — np.lexsort keys
+    # are LAST-key-primary. The giant component runs in ONE task (the
+    # walk is order-sequential by construction), so this body is
+    # vectorized: CSR adjacency + integer positions replace the previous
+    # dict-of-lists + per-seed sorted() — identical output, ~an order of
+    # magnitude less serial Python on 10^5-member components.
+    order = np.lexsort(
+        (
+            ids,
+            members_pdf["rank"].to_numpy(),
+            members_pdf["chunk_idx"].to_numpy(),
+            members_pdf["conv_id"].to_numpy(),
+        )
     )
-    pos = {ids[i]: p for p, i in enumerate(order)}
-    conf_of = dict(zip(ids, confs))
+    # pos[i] = scan position of original row i
+    pos_of_row = np.empty(n, dtype=np.int64)
+    pos_of_row[order] = np.arange(n)
+    ids_by_pos = ids[order]
+    confs_by_pos = confs[order]
+    row_by_id = pd.Series(pos_of_row, index=ids)
 
-    adj: dict[str, list[str]] = {}
-    for a, b in zip(edges_pdf["id1"], edges_pdf["id2"]):
-        adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
+    # CSR adjacency over scan positions, neighbor lists pre-sorted by
+    # (src position, neighbor position) — one global lexsort replaces the
+    # per-seed sorted(..., key=pos.__getitem__)
+    if len(edges_pdf):
+        u = edges_pdf["id1"].map(row_by_id).to_numpy(dtype=np.int64)
+        v = edges_pdf["id2"].map(row_by_id).to_numpy(dtype=np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        e_order = np.lexsort((dst, src))
+        src = src[e_order]
+        dst = dst[e_order]
+        offsets = np.searchsorted(src, np.arange(n + 1))
+    else:
+        dst = np.empty(0, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
 
-    out_rows: list[tuple[str, str]] = []
-    clustered: set[str] = set()
-    for i in order:
-        eid = ids[i]
-        if eid in clustered:
+    out_entity: list[str] = []
+    out_cluster: list[str] = []
+    clustered = np.zeros(n, dtype=bool)
+    for p in range(n):
+        if clustered[p]:
             continue
-        cluster = [eid]
-        clustered.add(eid)
-        for nb in sorted(adj.get(eid, ()), key=pos.__getitem__):
-            if nb not in clustered:
-                cluster.append(nb)
-                clustered.add(nb)
-        canon = max(cluster, key=lambda e: (conf_of[e], e))
-        out_rows.extend((e, canon) for e in cluster)
-    return pd.DataFrame(out_rows, columns=["entity_id", "cluster_id"])
+        nbs = dst[offsets[p] : offsets[p + 1]]
+        fresh = nbs[~clustered[nbs]]
+        clustered[p] = True
+        if len(fresh):
+            # a neighbor can repeat (multi-edges collapse upstream, but
+            # stay safe): preserve first occurrence in position order
+            fresh = pd.unique(fresh)
+            clustered[fresh] = True
+            cluster_pos = np.concatenate(([p], fresh))
+        else:
+            cluster_pos = np.array([p], dtype=np.int64)
+        c_ids = ids_by_pos[cluster_pos]
+        c_confs = confs_by_pos[cluster_pos]
+        # canonical: max by (confidence, entity_id) — reference max_by
+        best = np.flatnonzero(c_confs == c_confs.max())
+        canon = max(c_ids[best])
+        out_entity.extend(c_ids)
+        out_cluster.extend([canon] * len(c_ids))
+    return pd.DataFrame({"entity_id": out_entity, "cluster_id": out_cluster})
 
 
 def canonicalize_entities(

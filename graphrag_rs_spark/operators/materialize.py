@@ -31,6 +31,7 @@ def repoint_edges(
     clusters: DataFrame,
     broadcast_linkmap: bool = True,
     relationship_confidence: float = 0.5,
+    int_coded_agg: bool = True,
 ) -> DataFrame:
     """Map subj/obj to canonical cluster ids and dedupe.
 
@@ -44,15 +45,27 @@ def repoint_edges(
       (associative, bit-identical result).
 
     Returns edges(subj, pred, obj, confidence, context array<string>).
-    """
-    repointed, combined = repointed_occurrences(
-        edges_raw, clusters, broadcast_linkmap
-    )
 
-    # dedupe on (subj, obj, pred): max confidence, contexts unioned
-    # (groupBy does map-side partial aggregation, so hub-entity skew is
-    # absorbed by the combiner before the shuffle)
+    ``int_coded_agg`` (occurrence path only): the dedupe exchange is the
+    build's largest shuffle — tens of millions of occurrence rows keyed
+    by two ~22-byte canonical-id strings. The same broadcast join that
+    re-points an endpoint also attaches a per-cluster LONG code (built
+    once from the distinct cluster ids, materialized so the encode and
+    decode sides read one snapshot), the aggregation groups on the code
+    pair (~45% fewer shuffle bytes, long comparisons instead of string),
+    and a broadcast decode restores the canonical-id strings afterwards —
+    the output is IDENTICAL row-for-row. Endpoints absent from the
+    linkmap (impossible in the pipeline, where every entity maps to a
+    cluster — singletons to themselves — but legal for foreign inputs)
+    keep their raw string in the group key, so correctness does not
+    depend on coverage.
+    """
+    combined = "contexts" in edges_raw.columns
+
     if combined:
+        repointed, _ = repointed_occurrences(
+            edges_raw, clusters, broadcast_linkmap
+        )
         # occurrence rows all carry the constant config confidence
         # (edges_raw_table semantics, config/mod.rs:887-889), so max == lit
         return (
@@ -70,9 +83,92 @@ def repoint_edges(
                 "context",
             )
         )
-    return repointed.groupBy("subj", "pred", "obj").agg(
+
+    if not int_coded_agg:
+        repointed, _ = repointed_occurrences(
+            edges_raw, clusters, broadcast_linkmap
+        )
+        # dedupe on (subj, obj, pred): max confidence, contexts unioned
+        # (groupBy does map-side partial aggregation, so hub-entity skew
+        # is absorbed by the combiner before the shuffle)
+        return repointed.groupBy("subj", "pred", "obj").agg(
+            F.max("confidence").alias("confidence"),
+            F.array_sort(F.collect_set("context_chunk")).alias("context"),
+        )
+
+    # ---- int-coded aggregation path ----
+    codes = (
+        clusters.select("cluster_id")
+        .distinct()
+        .withColumn("_code", F.monotonically_increasing_id())
+        # encode and decode MUST see the same code assignment;
+        # monotonically_increasing_id is partition-dependent, so pin one
+        # materialized snapshot for both scans
+        .localCheckpoint(eager=False)
+    )
+    linkmap = clusters.select("entity_id", "cluster_id").join(codes, "cluster_id")
+    if broadcast_linkmap:
+        linkmap = F.broadcast(linkmap)
+
+    coded = (
+        edges_raw.join(
+            linkmap.select(
+                F.col("entity_id").alias("subj"),
+                F.col("_code").alias("_scode"),
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            linkmap.select(
+                F.col("entity_id").alias("obj"),
+                F.col("_code").alias("_ocode"),
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            "_scode",
+            # raw string rides in the key ONLY when no code exists
+            F.when(F.col("_scode").isNull(), F.col("subj")).alias("_sraw"),
+            "pred",
+            "_ocode",
+            F.when(F.col("_ocode").isNull(), F.col("obj")).alias("_oraw"),
+            "confidence",
+            "context_chunk",
+        )
+        # merged endpoints → self-loop → drop (null-safe on both parts)
+        .where(
+            ~(
+                F.col("_scode").eqNullSafe(F.col("_ocode"))
+                & F.col("_sraw").eqNullSafe(F.col("_oraw"))
+            )
+        )
+    )
+    agg = coded.groupBy("_scode", "_sraw", "pred", "_ocode", "_oraw").agg(
         F.max("confidence").alias("confidence"),
         F.array_sort(F.collect_set("context_chunk")).alias("context"),
+    )
+    sdec = F.broadcast(
+        codes.select(
+            F.col("_code").alias("_scode"), F.col("cluster_id").alias("_sdec")
+        )
+    )
+    odec = F.broadcast(
+        codes.select(
+            F.col("_code").alias("_ocode"), F.col("cluster_id").alias("_odec")
+        )
+    )
+    return (
+        agg.join(sdec, "_scode", "left")
+        .join(odec, "_ocode", "left")
+        .select(
+            F.coalesce("_sdec", "_sraw").alias("subj"),
+            "pred",
+            F.coalesce("_odec", "_oraw").alias("obj"),
+            "confidence",
+            "context",
+        )
     )
 
 
