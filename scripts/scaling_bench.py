@@ -38,8 +38,17 @@ def run(cpus: int) -> dict:
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        # surface the leg's own stderr instead of dying on an IndexError
+        # (a crashed leg previously lost every completed rep's data too)
+        print(
+            f"leg local[{cpus}] produced no JSON (rc={out.returncode});"
+            f" stderr tail:\n" + "\n".join(out.stderr.splitlines()[-30:]),
+            file=sys.stderr,
+        )
+        return {}
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -61,6 +70,9 @@ def main() -> None:
         pair: dict[int, dict] = {}
         for cpus in (lo, hi):
             res = run(cpus)
+            if not res:
+                pair.clear()
+                break
             pair[cpus] = res
             print(f"rep{r} local[{cpus}]: {json.dumps(res['kg'])}",
                   file=sys.stderr)
@@ -68,6 +80,9 @@ def main() -> None:
                     or res["kg"]["triples_per_sec"]
                     > best[cpus]["kg"]["triples_per_sec"]):
                 best[cpus] = res
+        if not pair:
+            print(f"rep{r} dropped (failed leg)", file=sys.stderr)
+            continue
         # same-rep pairing shares ambient interference — report it too
         pe = (
             pair[hi]["kg"]["triples_per_sec"]
@@ -75,6 +90,9 @@ def main() -> None:
         ) / (hi / lo)
         pairwise.append(round(pe, 3))
         print(f"rep{r} pairwise efficiency: {pe:.3f}", file=sys.stderr)
+    if lo not in best or hi not in best:
+        print(json.dumps({"error": "no complete rep"}))
+        return
     r_lo, r_hi = best[lo], best[hi]
 
     thr_lo = r_lo["kg"]["triples_per_sec"]
