@@ -24,7 +24,9 @@ Arrow-batched pandas UDFs and inside the single-process oracle identically.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 PERSON_TITLES = frozenset({
     "mr", "mrs", "ms", "dr", "prof", "professor", "sir", "lady", "lord",
@@ -114,6 +116,8 @@ class ExtractedEntity:
 
 def clean_word(word: str) -> str:
     """mod.rs:622-628 — keep alphabetic + apostrophe, strip trailing '."""
+    if word.isalpha():  # fast path: nothing to strip (no apostrophes either)
+        return word
     kept = "".join(c for c in word if c.isalpha() or c == "'")
     return kept.rstrip("'")
 
@@ -127,13 +131,16 @@ def is_likely_person_word(word: str) -> bool:
     """mod.rs:631-668."""
     if len(word) < 2:
         return False
+    if not word[0].isupper() or not word.replace("'", "").isalpha():
+        return False  # == `is_proper` below (word[0] upper ⇒ ≥1 alpha char)
     wl = word.lower()
-    has_name_ending = any(wl.endswith(e) for e in NAME_ENDINGS)
-    has_name_prefix = any(wl.startswith(p) for p in NAME_PREFIXES)
-    is_proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
     if len(word) <= 2 and wl in SHORT_NON_NAMES:
         return False
-    return is_proper and (len(word) >= 3 or has_name_ending or has_name_prefix)
+    return (
+        len(word) >= 3
+        or wl.endswith(NAME_ENDINGS)
+        or wl.startswith(NAME_PREFIXES)
+    )
 
 
 def is_likely_person_name(name: str) -> bool:
@@ -183,12 +190,17 @@ def calculate_confidence(name: str, entity_type: str) -> float:
 def normalize_name(name: str) -> str:
     """mod.rs:758-764 — lowercase, keep [alnum_], then spaces→_ (the space
     filter runs first, so the replace is a no-op; kept for fidelity)."""
-    kept = "".join(c for c in name.lower() if c.isalnum() or c == "_")
+    lower = name.lower()
+    if lower.isalnum():  # fast path: filter and replace are both no-ops
+        return lower
+    kept = "".join(c for c in lower if c.isalnum() or c == "_")
     return kept.replace(" ", "_")
 
 
+@lru_cache(maxsize=1 << 16)
 def entity_id_for(name: str, entity_type: str) -> str:
-    """mod.rs:594 — `{TYPE}_{normalized}`."""
+    """mod.rs:594 — `{TYPE}_{normalized}` (pure; cached — the same surface
+    forms recur across every chunk a worker processes)."""
     return f"{entity_type}_{normalize_name(name)}"
 
 
@@ -296,10 +308,14 @@ def _extract_two_word(words, cleaned, processed, text, min_confidence, out):
                 processed.add(i + 1)
 
 
-def extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
+def extract_persons(
+    text: str,
+    min_confidence: float,
+    _words: list[str] | None = None,
+) -> list[ExtractedEntity]:
     """mod.rs:159-330 — the 4-phase person extractor."""
     entities: list[ExtractedEntity] = []
-    words = text.split()
+    words = text.split() if _words is None else _words
     # one cleaning pass per chunk, reused by every phase
     cleaned = [clean_word(w) for w in words]
     cleaned_lower = [c.lower() for c in cleaned]
@@ -361,19 +377,28 @@ def extract_locations(text: str, min_confidence: float) -> list[ExtractedEntity]
     return entities
 
 
-def extract_concepts(text: str, entity_type: str, min_confidence: float) -> list[ExtractedEntity]:
-    """mod.rs:897-961."""
+_CONCEPT_RE = re.compile("|".join(re.escape(i) for i in CONCEPT_INDICATORS))
+
+
+def extract_concepts(
+    text: str,
+    entity_type: str,
+    min_confidence: float,
+    _words: list[str] | None = None,
+) -> list[ExtractedEntity]:
+    """mod.rs:897-961. ``_words`` is an optional pre-split token list shared
+    across extractors by :func:`extract_entities` (pure speedup)."""
     entities = []
-    for word in text.split():
+    for word in (text.split() if _words is None else _words):
         cw = clean_word(word)
-        if any(ind in cw for ind in CONCEPT_INDICATORS):
+        # `_CONCEPT_RE.search(cw)` ≡ `any(ind in cw for ind in CONCEPT_INDICATORS)`
+        if _CONCEPT_RE.search(cw):
             if 0.75 >= min_confidence:
                 entities.append(_make_entity(cw, entity_type, 0.75, text))
         if is_capitalized(word) and len(word) > 4:
-            cw2 = clean_word(word)
-            if not is_common_word(cw2):
+            if not is_common_word(cw):
                 if 0.6 >= min_confidence:
-                    entities.append(_make_entity(cw2, entity_type, 0.6, text))
+                    entities.append(_make_entity(cw, entity_type, 0.6, text))
     return entities
 
 
@@ -397,10 +422,15 @@ def extract_objects(text: str, min_confidence: float) -> list[ExtractedEntity]:
     return entities
 
 
-def extract_generic(text: str, entity_type: str, min_confidence: float) -> list[ExtractedEntity]:
+def extract_generic(
+    text: str,
+    entity_type: str,
+    min_confidence: float,
+    _words: list[str] | None = None,
+) -> list[ExtractedEntity]:
     """mod.rs:1039-1068."""
     entities = []
-    for word in text.split():
+    for word in (text.split() if _words is None else _words):
         if is_capitalized(word) and len(word) > 3:
             cw = clean_word(word)
             if not is_common_word(cw) and 0.5 >= min_confidence:
@@ -428,21 +458,22 @@ def extract_entities(
     deterministic and mutually consistent).
     """
     entities: list[ExtractedEntity] = []
+    words = text.split()  # split once, shared by every word-scanning extractor
     for et in entity_types:
         if et in _PERSON_TYPES:
-            entities.extend(extract_persons(text, min_confidence))
+            entities.extend(extract_persons(text, min_confidence, _words=words))
         elif et in _ORG_TYPES:
             entities.extend(extract_organizations(text, min_confidence))
         elif et in _LOC_TYPES:
             entities.extend(extract_locations(text, min_confidence))
         elif et in _CONCEPT_TYPES:
-            entities.extend(extract_concepts(text, et, min_confidence))
+            entities.extend(extract_concepts(text, et, min_confidence, _words=words))
         elif et in _EVENT_TYPES:
             entities.extend(extract_events(text, min_confidence))
         elif et in _OBJECT_TYPES:
             entities.extend(extract_objects(text, min_confidence))
         else:
-            entities.extend(extract_generic(text, et, min_confidence))
+            entities.extend(extract_generic(text, et, min_confidence, _words=words))
 
     # dedupe by (name, type): merge mentions, keep max confidence (mod.rs:767-788)
     unique: dict[tuple[str, str], ExtractedEntity] = {}
@@ -493,11 +524,23 @@ def extract_relationships(
     """mod.rs:791-817 — all ordered (i < j) co-occurring pairs; entities with
     no mention in this chunk are skipped (mod.rs:805-807, matching
     lib.rs:513-518's mention filter)."""
-    triples = []
     present = [e for e in entities if e.mentions]
-    for i in range(len(present)):
-        for j in range(i + 1, len(present)):
-            e1, e2 = present[i], present[j]
-            pred = infer_relationship_type(e1.entity_type, e2.entity_type, chunk_text)
-            triples.append((e1.entity_id, e2.entity_id, pred))
+    if len(present) < 2:
+        return []
+    # the predicate depends only on (type1, type2) for a FIXED chunk_text, so
+    # resolve it once per type pair — O(T²) keyword scans instead of O(P²)
+    types_present = {e.entity_type for e in present}
+    pred_of = {
+        (a, b): infer_relationship_type(a, b, chunk_text)
+        for a in types_present
+        for b in types_present
+    }
+    triples: list[tuple[str, str, str]] = []
+    for i in range(len(present) - 1):
+        e1 = present[i]
+        t1, id1 = e1.entity_type, e1.entity_id
+        triples.extend(
+            (id1, e2.entity_id, pred_of[t1, e2.entity_type])
+            for e2 in present[i + 1 :]
+        )
     return triples
