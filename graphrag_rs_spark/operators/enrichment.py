@@ -39,13 +39,14 @@ def enrich_chunks(
     """chunks + documents → one metadata row per chunk.
 
     ``layout`` picks the structure parser: ``"markdown"`` (markdown.rs
-    port, the default and the reference's graph-build path) or
+    port, the default and the reference's graph-build path),
     ``"plaintext"`` (parsers/plaintext.rs port: underline / ALL-CAPS /
-    numbered-heading heuristics for documents with no markdown markup).
-    Both emit the same Section shape, so the per-chunk metadata rules
+    numbered-heading heuristics for documents with no markdown markup),
+    or ``"html"`` (parsers/html.rs port: same-line <hN>…</hN> tags).
+    All emit the same Section shape, so the per-chunk metadata rules
     (chunk_enricher.rs:82-141) compose unchanged.
     """
-    if layout not in ("markdown", "plaintext"):
+    if layout not in ("markdown", "plaintext", "html"):
         raise ValueError(f"unknown layout parser: {layout!r}")
 
     def enrich(chunk_pdf: "pd.DataFrame", doc_pdf: "pd.DataFrame"):
@@ -56,15 +57,17 @@ def enrich_chunks(
             chunk_metadata,
             parse_markdown_structure,
         )
+        from graphrag_rs_spark.rules.html_layout import parse_html_structure
         from graphrag_rs_spark.rules.plaintext_layout import (
             parse_plaintext_structure,
         )
         from graphrag_rs_spark.rules.summarize import extractive_summary
 
-        parse_structure = (
-            parse_markdown_structure if layout == "markdown"
-            else parse_plaintext_structure
-        )
+        parse_structure = {
+            "markdown": parse_markdown_structure,
+            "plaintext": parse_plaintext_structure,
+            "html": parse_html_structure,
+        }[layout]
 
         def tf_keywords(text: str) -> list[str]:
             from collections import Counter
