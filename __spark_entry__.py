@@ -278,6 +278,7 @@ def _ensure_twin_dump(sf_dir: str) -> str:
     key = out_dir + "/twins"
     if key in _DUMP_DONE or base != "sf0.01":
         return out_dir
+    _ensure_oracle_dump(sf_dir)  # fallback_relations twin reads the kg dumps
     os.makedirs(out_dir, exist_ok=True)
     sf = _sf_of(sf_dir)
     n_convs = max(30, int(3000 * sf))
@@ -291,6 +292,7 @@ def _ensure_twin_dump(sf_dir: str) -> str:
         "summary_tree": tw.summary_tree(sf_dir),
         "hybrid_search": tw.hybrid_search(sf_dir, _HYBRID_QUERY),
         "hipporag_retrieval": tw.hipporag_retrieval(sf_dir),
+        "fallback_relations": tw.fallback_relations(out_dir),
     }
     for name, pdf in dumps.items():
         pdf.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
@@ -422,20 +424,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_node_stats"] = kg_node_stats
 
-    # ---- graph primitives (oracle-checked on the nation path graph) ----
-    def graph_cc(spark, sf_dir):
-        cc = connected_components(
-            _nation_chain_edges(spark, sf_dir), src="src", dst="dst"
+    # ---- graph primitives (oracle-checked on the nation path graph).
+    # CC + degrees share one entry (joined on id) — the driver records at
+    # most 50 correctness rows, so single-table checks are consolidated
+    # wherever the joined schema stays lossless. ----
+    def graph_cc_degrees(spark, sf_dir):
+        edges = _nation_chain_edges(spark, sf_dir)
+        cc = connected_components(edges, src="src", dst="dst")
+        deg = degrees(edges, src="src", dst="dst")
+        return cc.join(deg, "id", "left").select(
+            "id", "component",
+            F.coalesce(F.col("degree").cast("long"), F.lit(0)).alias(
+                "degree"
+            ),
         )
-        return cc.select("id", "component")
 
-    q["graph_connected_components"] = graph_cc
-
-    def graph_degrees(spark, sf_dir):
-        deg = degrees(_nation_chain_edges(spark, sf_dir), src="src", dst="dst")
-        return deg.select("id", F.col("degree").cast("long").alias("degree"))
-
-    q["graph_degrees"] = graph_degrees
+    q["graph_cc_degrees"] = graph_cc_degrees
 
     # ---- dedup suite over documents ----
     def dedup_exact(spark, sf_dir):
@@ -517,52 +521,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_cosine"] = dedup_embedding
 
-    # ---- text analysis over documents (oracle-checked) ----
-    def text_tokens(spark, sf_dir):
+    # ---- text analysis over documents (oracle-checked): token counts,
+    # quality scores, language-ID, and fingerprints joined on doc_id into
+    # one registry slot (50-row driver cap; nothing is dropped — every
+    # column of the four operators is still value-hashed). ----
+    def text_analysis_q(spark, sf_dir):
         docs = _read(spark, sf_dir, "documents")
-        t = token_counts(docs, "text", "doc_id")
-        return t.select(
+        t = token_counts(docs, "text", "doc_id").select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_pieces").cast("long").alias("n_pieces"),
         )
-
-    q["text_token_counts"] = text_tokens
-
-    def text_quality(spark, sf_dir):
-        docs = _read(spark, sf_dir, "documents")
-        s = quality_scores(docs, "text", "doc_id")
-        return s.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "avg_token_len",
-            "punct_ratio",
-            "upper_ratio",
-            "stopword_ratio",
-            "quality_score",
+        s = quality_scores(docs, "text", "doc_id").select(
+            "doc_id", "avg_token_len", "punct_ratio", "upper_ratio",
+            "stopword_ratio", "quality_score",
         )
-
-    q["text_quality"] = text_quality
-
-    def text_lang(spark, sf_dir):
-        docs = _read(spark, sf_dir, "documents")
-        l = language_id(docs, "text", "doc_id")
-        return l.select(
+        l = language_id(docs, "text", "doc_id").select(
             "doc_id",
             *[F.col(f"hits_{x}").cast("long").alias(f"hits_{x}") for x in
               ("en", "de", "fr", "es")],
             "lang_pred",
         )
+        fp = fingerprints(docs, "text", "doc_id").select(
+            "doc_id", "content_md5"
+        )
+        return t.join(s, "doc_id").join(l, "doc_id").join(fp, "doc_id")
 
-    q["text_language_id"] = text_lang
-
-    def text_fp(spark, sf_dir):
-        docs = _read(spark, sf_dir, "documents")
-        return fingerprints(docs, "text", "doc_id").select("doc_id", "content_md5")
-
-    q["text_fingerprints"] = text_fp
+    q["text_analysis"] = text_analysis_q
 
     # ---- similarity search over embeddings ----
     def knn_exact(spark, sf_dir):
@@ -1150,6 +1136,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hash_embeddings"] = hash_embed_q
 
+    # ---- corpus-level knowledge graph (corpus/knowledge_graph.rs) --------
+    # Members = one row per (entity, document): cluster assignments joined
+    # back onto the mentions' distinct (entity_id, conv_id) pairs. The
+    # DuckDB oracle recomputes the aggregations from the same kg stage
+    # dumps with independent SQL, so the check pins the distributed
+    # groupBy/self-join dataflow, not a shared twin.
+    def _corpus_members(spark, sf_dir):
+        t = _kg_tables(spark, sf_dir)
+        docs = t["mentions"].select(
+            "entity_id", F.col("conv_id").alias("doc_id")
+        ).distinct()
+        return (
+            docs.join(
+                t["clusters"].select(
+                    "entity_id", "cluster_id", "canonical_name",
+                    "entity_type", "confidence",
+                ),
+                "entity_id",
+            )
+            .join(t["entities_raw"].select("entity_id", "name"), "entity_id")
+        )
+
+    def corpus_kg_q(spark, sf_dir):
+        """Global entities + corpus relations in one entry (50-row driver
+        cap): entity rows and relation rows share a kind-tagged schema and
+        every computed column of both operators is still value-hashed."""
+        from graphrag_rs_spark.operators.corpus import (
+            corpus_relations,
+            global_entities,
+        )
+
+        _ensure_oracle_dump(sf_dir)
+        members = _corpus_members(spark, sf_dir)
+        ents = global_entities(members).select(
+            F.lit("entity").alias("kind"),
+            F.col("entity_id").alias("id"),
+            F.col("canonical_name").alias("label"),
+            F.col("entity_type").alias("type_name"),
+            F.col("document_frequency").cast("long").alias(
+                "document_frequency"
+            ),
+            F.col("total_mentions").cast("long").alias("n_mentions"),
+            F.col("confidence_score").cast("double").alias("confidence"),
+            F.col("importance_score").cast("double").alias("score"),
+            F.concat_ws(
+                "#",
+                F.array_join("aliases", "|"),
+                F.array_join("source_documents", "|"),
+            ).alias("docs"),
+        )
+        rels = corpus_relations(members).select(
+            F.lit("relation").alias("kind"),
+            "id",
+            F.concat_ws(
+                ">", "source_entity_id", "target_entity_id"
+            ).alias("label"),
+            F.col("relation_type").alias("type_name"),
+            F.col("document_frequency").cast("long").alias(
+                "document_frequency"
+            ),
+            F.lit(0).cast("long").alias("n_mentions"),
+            F.col("confidence").cast("double").alias("confidence"),
+            F.lit(0.0).alias("score"),
+            F.array_join("source_documents", "|").alias("docs"),
+        )
+        return ents.unionByName(rels)
+
+    q["corpus_kg"] = corpus_kg_q
+
+    # ---- bidirectional entity<->chunk index (bidirectional_index.rs) ----
+    def bidir_cooc_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.bidirectional_index import (
+            co_occurring_entities,
+        )
+
+        _ensure_oracle_dump(sf_dir)
+        m = _kg_tables(spark, sf_dir)["mentions"]
+        out = co_occurring_entities(m)
+        return out.select(
+            "entity_id", "other_entity_id",
+            F.col("shared_chunks").cast("long").alias("shared_chunks"),
+        )
+
+    q["bidir_co_occurring"] = bidir_cooc_q
+
+    def bidir_stats_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.bidirectional_index import (
+            index_statistics,
+        )
+
+        _ensure_oracle_dump(sf_dir)
+        m = _kg_tables(spark, sf_dir)["mentions"]
+        out = index_statistics(m)
+        return out.select(
+            F.col("total_entities").cast("long").alias("total_entities"),
+            F.col("total_chunks").cast("long").alias("total_chunks"),
+            F.col("total_mappings").cast("long").alias("total_mappings"),
+            F.col("avg_chunks_per_entity").cast("double").alias(
+                "avg_chunks_per_entity"
+            ),
+            F.col("avg_entities_per_chunk").cast("double").alias(
+                "avg_entities_per_chunk"
+            ),
+        )
+
+    q["bidir_index_stats"] = bidir_stats_q
+
+    # ---- heuristic relationship fallback (llm_relationship_extractor.rs
+    # :266-441) over the KG stage tables; twin-dump oracle (independent
+    # Python if-chain vs the Spark `when` cascade) ----
+    def fallback_rel_q(spark, sf_dir):
+        from graphrag_rs_spark.operators.fallback_relations import (
+            extract_relationships_fallback,
+        )
+
+        _ensure_twin_dump(sf_dir)
+        t = _kg_tables(spark, sf_dir)
+        ents = t["mentions"].groupBy("chunk_id", "entity_id").agg(
+            F.min("name").alias("name"),
+            F.min("entity_type").alias("entity_type"),
+        )
+        chunks = t["chunks"].select(
+            "chunk_id", F.col("text").alias("content")
+        )
+        out = extract_relationships_fallback(ents, chunks)
+        return out.select(
+            "chunk_id", "source_entity_id", "target_entity_id",
+            "relation_type",
+            F.col("confidence").cast("double").alias("confidence"),
+        )
+
+    q["fallback_relations"] = fallback_rel_q
+
     return q
 
 
@@ -1215,6 +1334,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT item_id, rrf_score, n_lists
         FROM read_parquet('{_dump("hybrid_search")}')
     """
+    o["fallback_relations"] = f"""
+        SELECT chunk_id, source_entity_id, target_entity_id, relation_type,
+               confidence
+        FROM read_parquet('{_dump("fallback_relations")}')
+    """
+
+    # ---- corpus KG + bidirectional index: INDEPENDENT SQL recomputation
+    # over the kg stage dumps (not twin reads) — pins the distributed
+    # groupBy / self-join dataflow of operators/corpus.py and
+    # operators/bidirectional_index.py against DuckDB's own aggregation.
+    o["corpus_kg"] = f"""
+        WITH members AS (
+          SELECT DISTINCT m.entity_id, m.conv_id AS doc_id, c.cluster_id,
+                 c.canonical_name, c.entity_type, c.confidence, e.name
+          FROM read_parquet('{_dump("kg_mentions")}') m
+          JOIN read_parquet('{_dump("kg_clusters")}') c USING (entity_id)
+          JOIN read_parquet('{_dump("kg_entities_raw")}') e USING (entity_id)
+        ),
+        per AS (
+          SELECT cluster_id, canonical_name, entity_type,
+                 COUNT(*) AS total_mentions,
+                 COUNT(DISTINCT doc_id) AS document_frequency,
+                 MAX(confidence) AS confidence_score
+          FROM members GROUP BY 1, 2, 3
+        ),
+        al AS (
+          SELECT cluster_id, string_agg(name, '|' ORDER BY name) AS aliases
+          FROM (SELECT DISTINCT cluster_id, name FROM members) GROUP BY 1
+        ),
+        sd AS (
+          SELECT cluster_id,
+                 string_agg(doc_id, '|' ORDER BY doc_id) AS source_documents,
+                 COUNT(*) AS spread
+          FROM (SELECT DISTINCT cluster_id, doc_id FROM members) GROUP BY 1
+        ),
+        dc AS (SELECT DISTINCT cluster_id, doc_id FROM members)
+        SELECT 'entity' AS kind,
+               p.cluster_id AS id, p.canonical_name AS label,
+               p.entity_type AS type_name,
+               CAST(p.document_frequency AS BIGINT) AS document_frequency,
+               CAST(p.total_mentions AS BIGINT) AS n_mentions,
+               CAST(p.confidence_score AS DOUBLE) AS confidence,
+               ((ln(p.document_frequency) + 1.0) * 0.4
+                + (ln(p.total_mentions) + 1.0) * 0.3
+                + sd.spread * 0.3) / 3.0 AS score,
+               al.aliases || '#' || sd.source_documents AS docs
+        FROM per p JOIN al USING (cluster_id) JOIN sd USING (cluster_id)
+        UNION ALL
+        SELECT 'relation' AS kind,
+               a.cluster_id || '_' || b.cluster_id AS id,
+               a.cluster_id || '>' || b.cluster_id AS label,
+               'co_occurs' AS type_name,
+               CAST(COUNT(*) AS BIGINT) AS document_frequency,
+               CAST(0 AS BIGINT) AS n_mentions,
+               LEAST(0.7 + (COUNT(*) - 1) * 0.1, 1.0) AS confidence,
+               0.0 AS score,
+               string_agg(a.doc_id, '|' ORDER BY a.doc_id) AS docs
+        FROM dc a JOIN dc b
+          ON a.doc_id = b.doc_id AND a.cluster_id < b.cluster_id
+        GROUP BY a.cluster_id, b.cluster_id
+    """
+    o["bidir_co_occurring"] = f"""
+        WITH m AS (
+          SELECT DISTINCT entity_id, chunk_id
+          FROM read_parquet('{_dump("kg_mentions")}')
+        )
+        SELECT a.entity_id, b.entity_id AS other_entity_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_chunks
+        FROM m a JOIN m b
+          ON a.chunk_id = b.chunk_id AND a.entity_id <> b.entity_id
+        GROUP BY 1, 2
+    """
+    o["bidir_index_stats"] = f"""
+        WITH m AS (
+          SELECT DISTINCT entity_id, chunk_id
+          FROM read_parquet('{_dump("kg_mentions")}')
+        )
+        SELECT CAST(COUNT(DISTINCT entity_id) AS BIGINT) AS total_entities,
+               CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS total_chunks,
+               CAST(COUNT(*) AS BIGINT) AS total_mappings,
+               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT entity_id)
+                   AS avg_chunks_per_entity,
+               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT chunk_id)
+                   AS avg_entities_per_chunk
+        FROM m
+    """
 
     o["kg_chunks"] = f"""
         SELECT conv_id, doc_id, chunk_idx, chunk_id, text, "start", "end"
@@ -1256,22 +1461,23 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY user_id
     """
 
-    o["graph_connected_components"] = """
-        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
-               MIN('n' || CAST(n_nationkey AS VARCHAR))
-                   OVER (PARTITION BY n_regionkey) AS component
-        FROM nation
-    """
-
-    o["graph_degrees"] = """
-        WITH c AS (
+    o["graph_cc_degrees"] = """
+        WITH cc AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                 MIN('n' || CAST(n_nationkey AS VARCHAR))
+                     OVER (PARTITION BY n_regionkey) AS component
+          FROM nation
+        ), c AS (
           SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
                  lag('n' || CAST(n_nationkey AS VARCHAR))
                      OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS prev
           FROM nation
         ), e AS (SELECT prev AS u, id AS v FROM c WHERE prev IS NOT NULL),
-        x AS (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
-        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM x GROUP BY id
+        x AS (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e),
+        deg AS (SELECT id, COUNT(*) AS degree FROM x GROUP BY id)
+        SELECT cc.id, cc.component,
+               CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree
+        FROM cc LEFT JOIN deg USING (id)
     """
 
     o["dedup_exact"] = f"""
@@ -1298,7 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.8
     """
 
-    o["text_token_counts"] = rf"""
+    text_tok_sql = rf"""
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars,
           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1308,7 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    o["text_quality"] = f"""
+    text_quality_sql = f"""
         WITH b AS (
           SELECT doc_id,
             length(text) AS n_chars,
@@ -1349,7 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         f" AS hits_{lang}"
         for lang, words in _LANG_LISTS.items()
     )
-    o["text_language_id"] = f"""
+    text_lang_sql = f"""
         WITH t AS (
           SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS lt
           FROM documents
@@ -1375,8 +1581,23 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
-    o["text_fingerprints"] = f"""
-        SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents
+    # one registry slot for all four text operators (see text_analysis in
+    # queries()): the per-operator SQL bodies above become CTEs joined on
+    # doc_id, so every original column is still compared.
+    o["text_analysis"] = f"""
+        WITH tok AS ({text_tok_sql}),
+        qual AS ({text_quality_sql}),
+        lang AS ({text_lang_sql}),
+        fp AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents)
+        SELECT tok.doc_id, tok.n_chars, tok.n_tokens, tok.n_pieces,
+               qual.avg_token_len, qual.punct_ratio, qual.upper_ratio,
+               qual.stopword_ratio, qual.quality_score,
+               lang.hits_en, lang.hits_de, lang.hits_fr, lang.hits_es,
+               lang.lang_pred, fp.content_md5
+        FROM tok
+        JOIN qual USING (doc_id)
+        JOIN lang USING (doc_id)
+        JOIN fp USING (doc_id)
     """
 
     bm25_stop = ",".join(f"'{w}'" for w in BM25_STOPWORDS)

@@ -507,3 +507,118 @@ def hybrid_search(
         ],
         columns=["item_id", "rrf_score", "n_lists"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fallback relationship extraction — twin of
+# operators/fallback_relations.extract_relationships_fallback, itself a port
+# of the reference's infer_relationship_with_context
+# (entity/llm_relationship_extractor.rs:266-441). Independent if-chain
+# reimplementation (the Spark side is a single JVM `when` cascade), so the
+# hash check pins both the pair dataflow and the arm dispatch.
+# ---------------------------------------------------------------------------
+
+
+def _infer_relationship(t1, t2, n1, n2, ctx_lower):
+    """rs:321-441, keyword probes against the window cut from the
+    lowercased context (byte offsets ≡ char offsets on the ASCII fixture)."""
+    p1, p2 = ctx_lower.find(n1.lower()), ctx_lower.find(n2.lower())
+    if p1 < 0 or p2 < 0:
+        return None
+    w = ctx_lower[min(p1, p2): min(max(p1, p2) + 50, len(ctx_lower))]
+
+    def any_kw(*kws):
+        return any(k in w for k in kws)
+
+    pair = (t1, t2)
+    personish = ("PERSON", "CHARACTER", "SPEAKER")
+    if pair in (("PERSON", "PERSON"), ("CHARACTER", "CHARACTER"),
+                ("SPEAKER", "SPEAKER")):
+        if any_kw("said", "replied", "responded"):
+            return ("RESPONDS_TO", 0.85)
+        if any_kw("asked", "questioned"):
+            return ("QUESTIONS", 0.85)
+        if any_kw("taught", "explained"):
+            return ("TEACHES", 0.80)
+        if any_kw("discussed", "spoke about"):
+            return ("DISCUSSES", 0.80)
+        if any_kw("loved", "admired"):
+            return ("ADMIRES", 0.85)
+        if any_kw("argued", "disagreed"):
+            return ("ARGUES_WITH", 0.85)
+        if any_kw("met", "encountered"):
+            return ("MEETS", 0.75)
+        return ("INTERACTS_WITH", 0.60)
+    if t1 in personish and t2 == "CONCEPT":
+        if any_kw("discussed", "spoke of"):
+            return ("DISCUSSES", 0.80)
+        if any_kw("defined", "described"):
+            return ("DEFINES", 0.85)
+        if any_kw("questioned", "wondered about"):
+            return ("QUESTIONS", 0.80)
+        return ("MENTIONS", 0.70)
+    if t1 == "CONCEPT" and t2 in personish:
+        return ("DISCUSSED_BY", 0.70)
+    if pair in (("PERSON", "ORGANIZATION"), ("ORGANIZATION", "PERSON")):
+        if any_kw("works for", "employed by"):
+            return ("WORKS_FOR", 0.90)
+        if any_kw("founded", "leads"):  # "CEO" probe unreachable (lowered w)
+            return ("LEADS", 0.90)
+        return ("ASSOCIATED_WITH", 0.65)
+    if pair in (("PERSON", "LOCATION"), ("CHARACTER", "LOCATION")):
+        if any_kw("born in", "from"):
+            return ("BORN_IN", 0.90)
+        if any_kw("lives in", "resides in"):
+            return ("LIVES_IN", 0.85)
+        if any_kw("traveled to", "visited"):
+            return ("VISITED", 0.80)
+        return ("LOCATED_IN", 0.70)
+    if pair in (("ORGANIZATION", "LOCATION"), ("LOCATION", "ORGANIZATION")):
+        if any_kw("headquartered", "based in"):
+            return ("HEADQUARTERED_IN", 0.90)
+        return ("LOCATED_IN", 0.75)
+    if pair == ("CONCEPT", "CONCEPT"):
+        if any_kw("similar to", "related to"):
+            return ("RELATED_TO", 0.75)
+        if any_kw("opposite", "contrasts with"):
+            return ("CONTRASTS_WITH", 0.80)
+        return ("ASSOCIATED_WITH", 0.60)
+    if pair in (("PERSON", "EVENT"), ("CHARACTER", "EVENT")):
+        return ("PARTICIPATES_IN", 0.75)
+    if pair == ("EVENT", "LOCATION"):
+        return ("OCCURS_IN", 0.80)
+    if abs(p1 - p2) < 100:
+        return ("CO_OCCURS", 0.50)
+    return None
+
+
+def fallback_relations(dump_dir: str) -> pd.DataFrame:
+    """Twin of the `fallback_relations` driver query: in-chunk entity pairs
+    (entity_id ascending, one name per (chunk, entity) = min surface form)
+    run through the rs:321-441 arm dispatch over the kg stage dumps."""
+    mentions = pd.read_parquet(f"{dump_dir}/kg_mentions.parquet")
+    chunks = pd.read_parquet(f"{dump_dir}/kg_chunks.parquet")
+    ents = (
+        mentions.groupby(["chunk_id", "entity_id"], as_index=False)
+        .agg(name=("name", "min"), entity_type=("entity_type", "min"))
+    )
+    text_of = dict(zip(chunks["chunk_id"], chunks["text"]))
+    rows = []
+    for chunk_id, grp in ents.groupby("chunk_id"):
+        ctx = (text_of.get(chunk_id) or "").lower()
+        members = sorted(
+            zip(grp["entity_id"], grp["name"], grp["entity_type"])
+        )
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                e1, e2 = members[i], members[j]
+                got = _infer_relationship(e1[2], e2[2], e1[1], e2[1], ctx)
+                if got is not None:
+                    rows.append((chunk_id, e1[0], e2[0], got[0], got[1]))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "chunk_id", "source_entity_id", "target_entity_id",
+            "relation_type", "confidence",
+        ],
+    )
