@@ -243,6 +243,38 @@ async def _call_with_retry(client, prompt: str, policy: LLMCallPolicy) -> str:
     raise last if last else RuntimeError("LLM call failed")
 
 
+def merge_entity_data(existing: list[dict], new: list[dict]) -> list[dict]:
+    """Length-based entity merge (gleaning_extractor.rs:229-272), the
+    LightRAG rule: key is the LOWERCASE NAME ONLY (type is not part of the
+    key), re-inserting ``existing`` is last-wins, and a ``new`` entity
+    replaces the held one only when its description is STRICTLY longer.
+    The reference returns HashMap values in arbitrary order; here insertion
+    order, which is deterministic and parity-neutral (downstream keys on
+    entity id, not position)."""
+    merged: dict[str, dict] = {}
+    for e in existing:
+        merged[e["name"].lower()] = e
+    for e in new:
+        key = e["name"].lower()
+        cur = merged.get(key)
+        if cur is None or len(e["description"]) > len(cur["description"]):
+            merged[key] = e
+    return list(merged.values())
+
+
+def deduplicate_triples(triples: list[tuple]) -> list[tuple]:
+    """gleaning_extractor.rs:416-435 — dedupe key ``{src}->{tgt}:{type}``
+    (the predicate IS part of the key: two different relation types between
+    the same pair both survive), first occurrence kept."""
+    seen: set[tuple] = set()
+    out = []
+    for t in triples:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
 async def _glean_chunk(
     client,
     text: str,
@@ -251,46 +283,36 @@ async def _glean_chunk(
     policy: LLMCallPolicy,
 ) -> dict:
     """One chunk's full gleaning conversation (gleaning_extractor.rs:
-    112-223): extract → completion check → continuation → merge NEW
-    entities by (type, normalized name) / relationships by
-    (source, target), until YES or ``max_rounds``."""
+    112-223): extract → completion check → continuation. Entities merge
+    per round via :func:`merge_entity_data` (longer description wins);
+    relationships APPEND raw across rounds and dedupe once at the end, in
+    :func:`_to_rows`, after names resolve to ids — exactly the reference's
+    order of operations (merge at :200-204, final dedupe at :212)."""
     raw = await _call_with_retry(
         client, build_extraction_prompt(text, entity_types), policy
     )
     out = parse_extraction_response(raw)
-    ents: dict[tuple[str, str], dict] = {
-        (e["type"], e["name"].lower()): e for e in out["entities"]
-    }
-    rels: dict[tuple[str, str], dict] = {
-        (r["source"].lower(), r["target"].lower()): r
-        for r in out["relationships"]
-    }
+    all_ents: list[dict] = list(out["entities"])
+    all_rels: list[dict] = list(out["relationships"])
     for _ in range(1, max_rounds):
         check = await _call_with_retry(
             client,
-            build_completion_prompt(
-                text, list(ents.values()), list(rels.values())
-            ),
+            build_completion_prompt(text, all_ents, all_rels),
             policy,
         )
         if "YES" in check.strip().upper():
             break
         raw = await _call_with_retry(
             client,
-            build_gleaning_prompt(
-                text, entity_types, list(ents.values()), list(rels.values())
-            ),
+            build_gleaning_prompt(text, entity_types, all_ents, all_rels),
             policy,
         )
         new = parse_extraction_response(raw)
         if not new["entities"] and not new["relationships"]:
             break
-        for e in new["entities"]:
-            ents.setdefault((e["type"], e["name"].lower()), e)
-        for r in new["relationships"]:
-            rels.setdefault((r["source"].lower(), r["target"].lower()), r)
-    return {"entities": list(ents.values()),
-            "relationships": list(rels.values())}
+        all_ents = merge_entity_data(all_ents, new["entities"])
+        all_rels.extend(new["relationships"])
+    return {"entities": all_ents, "relationships": all_rels}
 
 
 def _to_rows(out: dict, text: str) -> tuple[list, list]:
@@ -315,7 +337,7 @@ def _to_rows(out: dict, text: str) -> tuple[list, list]:
         if s and t:  # reference drops rels referencing unknown entities
             pred = r["description"] or "RELATED_TO"
             triples.append((s, t, pred))
-    return ent_rows, triples
+    return ent_rows, deduplicate_triples(triples)
 
 
 # ---------------------------------------------------------------------------
