@@ -73,21 +73,29 @@ class Limit(QueryOp):
 _JOIN_HOW = {"inner": "inner", "left_outer": "left", "cross": "cross"}
 
 
-def compile_op(op: QueryOp, tables: GraphTables) -> DataFrame:
-    """QueryOp tree → DataFrame of node rows (id column ``cluster_id``)."""
+def compile_op(op: QueryOp, tables: GraphTables, broadcast_if=None) -> DataFrame:
+    """QueryOp tree → DataFrame of node rows (id column ``cluster_id``).
+
+    ``broadcast_if(sub_op) -> bool`` (optional, supplied by
+    plans/optimizer.py) hints ``F.broadcast`` on a join's right side when
+    the cost model proves it small — AQE can't see through a multi-stage
+    sub-plan (e.g. an iterated Neighbors) before its shuffle materializes.
+    """
     nodes, edges = tables.nodes, tables.edges
 
     if isinstance(op, EntityScan):
         return nodes.where(F.col("entity_type") == op.entity_type)
 
     if isinstance(op, Filter):
-        src = compile_op(op.source, tables)
+        src = compile_op(op.source, tables, broadcast_if)
         # reference matches string equality on a property (optimizer.rs:24-31)
         return src.where(F.col(op.property).cast("string") == op.value)
 
     if isinstance(op, Join):
-        left = compile_op(op.left, tables)
-        right = compile_op(op.right, tables)
+        left = compile_op(op.left, tables, broadcast_if)
+        right = compile_op(op.right, tables, broadcast_if)
+        if broadcast_if is not None and broadcast_if(op.right):
+            right = F.broadcast(right)
         how = _JOIN_HOW[op.join_type]
         if how == "cross":
             return left.crossJoin(
@@ -97,7 +105,7 @@ def compile_op(op: QueryOp, tables: GraphTables) -> DataFrame:
         return left.join(right.select("cluster_id"), "cluster_id", how)
 
     if isinstance(op, Neighbors):
-        src = compile_op(op.source, tables)
+        src = compile_op(op.source, tables, broadcast_if)
         e = edges
         if op.relation_type is not None:
             e = e.where(F.col("pred") == op.relation_type)
@@ -112,11 +120,11 @@ def compile_op(op: QueryOp, tables: GraphTables) -> DataFrame:
         )
 
     if isinstance(op, Union):
-        left = compile_op(op.left, tables)
-        right = compile_op(op.right, tables)
+        left = compile_op(op.left, tables, broadcast_if)
+        right = compile_op(op.right, tables, broadcast_if)
         return left.unionByName(right).dropDuplicates(["cluster_id"])
 
     if isinstance(op, Limit):
-        return compile_op(op.source, tables).limit(op.count)
+        return compile_op(op.source, tables, broadcast_if).limit(op.count)
 
     raise TypeError(f"unknown op {type(op).__name__}")

@@ -1,0 +1,215 @@
+"""Cost-based query optimizer (query/optimizer.rs:76-680).
+
+The hand-built statistics and the five assertion vectors are ported from
+the reference's own test module (optimizer.rs:600-679); the Spark-side
+tests pin GraphStatistics.from_tables and the broadcast-hinted compile.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_rs_spark.plans.optimizer import (
+    GraphStatistics,
+    OperationCost,
+    QueryOptimizer,
+)
+from graphrag_rs_spark.plans.query_ops import (
+    EntityScan,
+    Filter,
+    GraphTables,
+    Join,
+    Limit,
+    Neighbors,
+    Union,
+    compile_op,
+)
+
+
+def ref_stats() -> GraphStatistics:
+    # optimizer.rs:604-628 create_test_stats
+    return GraphStatistics(
+        total_entities=180,
+        entities_by_type={"PERSON": 100, "ORGANIZATION": 50, "LOCATION": 30},
+        total_relationships=140,
+        relationships_by_type={"WORKS_FOR": 80, "LOCATED_IN": 60},
+        average_degree=1.56,
+    )
+
+
+class TestReferenceVectors:
+    """Direct ports of optimizer.rs:631-679."""
+
+    def test_cost_estimation_scan(self):
+        opt = QueryOptimizer(ref_stats())
+        cost = opt.estimate_cost(EntityScan("PERSON"))
+        assert cost.cardinality == 100
+        assert cost.cost == 100.0
+
+    def test_cost_estimation_join(self):
+        opt = QueryOptimizer(ref_stats())
+        cost = opt.estimate_cost(
+            Join(EntityScan("PERSON"), EntityScan("ORGANIZATION"), "inner")
+        )
+        # geometric mean sqrt(100*50) ~ 71 (optimizer.rs:655)
+        assert 60 < cost.cardinality < 80
+
+    def test_join_reordering(self):
+        opt = QueryOptimizer(ref_stats())
+        optimized = opt.optimize(
+            Join(EntityScan("PERSON"), EntityScan("LOCATION"), "inner")
+        )
+        assert isinstance(optimized, Join)
+        assert optimized.left == EntityScan("LOCATION")
+        assert optimized.right == EntityScan("PERSON")
+
+    def test_neighbors_cost(self):
+        opt = QueryOptimizer(ref_stats())
+        cost = opt.estimate_cost(
+            Neighbors(EntityScan("PERSON"), "WORKS_FOR", max_hops=2)
+        )
+        # 100 * 1.56^2 = 243 capped at 180 total entities
+        assert cost.cardinality > 100
+        assert cost.cardinality == 180
+
+    def test_explain_plan(self):
+        opt = QueryOptimizer(ref_stats())
+        plan = opt.explain(
+            Join(EntityScan("PERSON"), EntityScan("ORGANIZATION"), "inner")
+        )
+        assert "Join" in plan
+        assert "EntityScan" in plan
+        assert "Estimated Cost" in plan
+
+
+class TestCostModelDetails:
+    def test_scan_unknown_type_is_zero(self):
+        opt = QueryOptimizer(ref_stats())
+        assert opt.estimate_cost(EntityScan("NOPE")) == OperationCost(0, 0.0, 0.0)
+
+    def test_union_integer_discount(self):
+        # Rust integer arithmetic (l + r) * 9 / 10 (optimizer.rs:465-466)
+        opt = QueryOptimizer(ref_stats())
+        cost = opt.estimate_cost(
+            Union(EntityScan("PERSON"), EntityScan("ORGANIZATION"))
+        )
+        assert cost.cardinality == (100 + 50) * 9 // 10 == 135
+
+    def test_cross_and_left_outer_cardinality(self):
+        opt = QueryOptimizer(ref_stats())
+        cross = opt.estimate_cost(
+            Join(EntityScan("PERSON"), EntityScan("LOCATION"), "cross")
+        )
+        assert cross.cardinality == 3000
+        lo = opt.estimate_cost(
+            Join(EntityScan("PERSON"), EntityScan("LOCATION"), "left_outer")
+        )
+        assert lo.cardinality == 100
+
+    def test_left_outer_never_reordered(self):
+        opt = QueryOptimizer(ref_stats())
+        q = Join(EntityScan("PERSON"), EntityScan("LOCATION"), "left_outer")
+        assert opt.optimize(q) == q
+
+    def test_filter_ten_percent_of_source(self):
+        opt = QueryOptimizer(ref_stats())
+        cost = opt.estimate_cost(Filter(EntityScan("PERSON"), "name", "x"))
+        assert cost.cardinality == 10
+        assert cost.selectivity == 0.1
+        assert cost.cost == 200.0  # scan 100 + filter pass 100
+
+    def test_limit_caps_cardinality(self):
+        opt = QueryOptimizer(ref_stats())
+        assert opt.estimate_cost(Limit(EntityScan("PERSON"), 5)).cardinality == 5
+        assert opt.estimate_cost(Limit(EntityScan("LOCATION"), 99)).cardinality == 30
+
+    def test_greedy_multiway_join_order(self):
+        # optimizer.rs:294-340: repeatedly join the two smallest operands.
+        opt = QueryOptimizer(ref_stats())
+        q = Join(
+            Join(EntityScan("PERSON"), EntityScan("ORGANIZATION"), "inner"),
+            EntityScan("LOCATION"),
+            "inner",
+        )
+        optimized = opt.optimize(q)
+        # smallest pair is (LOCATION=30, ORGANIZATION=50); the greedy loop
+        # pushes the joined pair at the END of the operand list
+        # (optimizer.rs:336-338), so the remaining PERSON scan ends up as
+        # the outer left operand.
+        assert isinstance(optimized, Join)
+        assert optimized.left == EntityScan("PERSON")
+        inner = optimized.right
+        assert isinstance(inner, Join)
+        assert {inner.left, inner.right} == {
+            EntityScan("ORGANIZATION"),
+            EntityScan("LOCATION"),
+        }
+
+    def test_explain_format_lines(self):
+        opt = QueryOptimizer(ref_stats())
+        plan = opt.explain(Limit(EntityScan("PERSON"), 5))
+        assert plan.splitlines()[0] == "Limit(5) [cost=100, rows=5]"
+        assert plan.splitlines()[1] == "  EntityScan(PERSON) [cost=100, rows=100]"
+        assert "Selectivity: 2.78%" in plan
+
+
+@pytest.fixture()
+def small_graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("P1", "ada", "PERSON", 0.9),
+            ("P2", "bob", "PERSON", 0.8),
+            ("P3", "cyd", "PERSON", 0.7),
+            ("O1", "acme", "ORGANIZATION", 0.9),
+            ("L1", "oslo", "LOCATION", 0.9),
+        ],
+        "cluster_id string, name string, entity_type string, confidence double",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("P1", "works_for", "O1", 0.9),
+            ("P2", "works_for", "O1", 0.8),
+            ("O1", "located_in", "L1", 0.9),
+            ("P3", "related_to", "P1", 0.6),
+        ],
+        "subj string, pred string, obj string, confidence double",
+    )
+    return GraphTables(nodes, edges)
+
+
+class TestSparkIntegration:
+    def test_stats_from_tables(self, small_graph):
+        stats = GraphStatistics.from_tables(small_graph.nodes, small_graph.edges)
+        assert stats.total_entities == 5
+        assert stats.entities_by_type == {"PERSON": 3, "ORGANIZATION": 1, "LOCATION": 1}
+        assert stats.total_relationships == 4
+        assert stats.relationships_by_type == {
+            "works_for": 2,
+            "located_in": 1,
+            "related_to": 1,
+        }
+        assert stats.average_degree == pytest.approx(8 / 5)
+
+    def test_plan_matches_unoptimized_rows(self, small_graph):
+        stats = GraphStatistics.from_tables(small_graph.nodes, small_graph.edges)
+        opt = QueryOptimizer(stats)
+        q = Join(
+            EntityScan("PERSON"),
+            Neighbors(EntityScan("ORGANIZATION"), None, max_hops=1),
+            "inner",
+        )
+        baseline = {r["cluster_id"] for r in compile_op(q, small_graph).collect()}
+        planned = {r["cluster_id"] for r in opt.plan(q, small_graph).collect()}
+        assert planned == baseline
+        # ORGANIZATION's undirected 1-hop reach from bfs is P1,P2,L1;
+        # intersect PERSON -> P1,P2 only if bfs is directed. Pin whichever
+        # the baseline computes (parity is the contract here), non-empty.
+        assert planned
+
+    def test_plan_emits_broadcast_hint(self, small_graph):
+        stats = GraphStatistics.from_tables(small_graph.nodes, small_graph.edges)
+        opt = QueryOptimizer(stats)
+        q = Join(EntityScan("PERSON"), EntityScan("ORGANIZATION"), "inner")
+        df = opt.plan(q, small_graph)
+        physical = df._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in physical or "BroadcastExchange" in physical
