@@ -39,6 +39,9 @@ def main() -> None:
                     choices=["parquet", "iceberg"])
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--config", default=None,
+                    help="TOML/JSON5/YAML config file (reference RawConfig "
+                         "schema + [spark] section); CLI flags override it")
     ap.add_argument("--chunk-size", type=int, default=1000)
     ap.add_argument("--chunk-overlap", type=int, default=200)
     ap.add_argument("--gleaning-rounds", type=int, default=1)
@@ -60,13 +63,37 @@ def main() -> None:
     from graphrag_rs_spark.plans.pipeline import build_graph
     from graphrag_rs_spark.sources.registry import read_table, save_graph_workspace
 
-    config = PipelineConfig(
-        chunk_size=args.chunk_size,
-        chunk_overlap=args.chunk_overlap,
-        max_gleaning_rounds=args.gleaning_rounds,
-        semantic_edges=args.semantic_edges,
-        shuffle_partitions=args.shuffle_partitions or 200,
-    )
+    if args.config:
+        from dataclasses import replace
+
+        from graphrag_rs_spark.config_loader import load_config
+
+        base = load_config(args.config)
+        # explicit CLI flags override the file (compare against parser
+        # defaults so untouched flags defer to the file's values)
+        overrides = {}
+        defaults = ap.parse_args([
+            "--input", args.input, "--output", args.output,
+        ])
+        for flag, field in [
+            ("chunk_size", "chunk_size"),
+            ("chunk_overlap", "chunk_overlap"),
+            ("gleaning_rounds", "max_gleaning_rounds"),
+            ("semantic_edges", "semantic_edges"),
+        ]:
+            if getattr(args, flag) != getattr(defaults, flag):
+                overrides[field] = getattr(args, flag)
+        if args.shuffle_partitions:
+            overrides["shuffle_partitions"] = args.shuffle_partitions
+        config = replace(base, **overrides)
+    else:
+        config = PipelineConfig(
+            chunk_size=args.chunk_size,
+            chunk_overlap=args.chunk_overlap,
+            max_gleaning_rounds=args.gleaning_rounds,
+            semantic_edges=args.semantic_edges,
+            shuffle_partitions=args.shuffle_partitions or 200,
+        )
 
     transcripts = read_table(spark, args.input, args.input_format)
     t0 = time.perf_counter()
