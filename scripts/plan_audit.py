@@ -296,6 +296,71 @@ def main() -> None:
         summarize(p), p,
     ))
 
+    from graphrag_rs_spark.operators.inference import infer_relationships_batch
+
+    inf_chunks = documents.select(
+        F.concat(F.lit("ch"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        "text",
+        F.array(
+            F.concat(F.lit("PERSON_e"), (F.col("doc_id") % 40).cast("string")),
+            F.concat(F.lit("PERSON_e"), (F.col("doc_id") % 60).cast("string")),
+        ).alias("entity_ids"),
+    )
+    inf_targets = spark.createDataFrame(
+        [("PERSON_e1", "FRIENDS"), ("PERSON_e2", "FRIENDS")],
+        "target_id string, relation_type string",
+    )
+    p = plan_of(infer_relationships_batch(inf_chunks, inf_targets))
+    sections.append((
+        "relationship inference (broadcast targets, one Arrow pass)",
+        "Targets reach the chunk scan via BroadcastHashJoin/"
+        "BroadcastNestedLoopJoin (array_contains), evidence scoring is ONE "
+        "MapInPandas over the exploded pairs, and the normalize/threshold/"
+        "top-k tail is two hash aggregations + a per-target window — no "
+        "driver loop, no all-pairs stage.",
+        summarize(p), p,
+    ))
+
+    from graphrag_rs_spark.plans.optimizer import GraphStatistics, QueryOptimizer
+    from graphrag_rs_spark.plans.query_ops import (
+        EntityScan as QEntityScan,
+        GraphTables as QGraphTables,
+        Join as QJoin,
+    )
+
+    q_nodes = documents.select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("cluster_id"),
+        F.substring("text", 1, 8).alias("name"),
+        F.when(F.col("doc_id") % 5 == 0, "ORGANIZATION")
+        .otherwise("PERSON")
+        .alias("entity_type"),
+        F.lit(0.9).alias("confidence"),
+    )
+    q_edges = documents.select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("related_to").alias("pred"),
+        F.concat(F.lit("n"), ((F.col("doc_id") + 1) % 1000).cast("string")).alias(
+            "obj"
+        ),
+        F.lit(0.8).alias("confidence"),
+    )
+    stats = GraphStatistics.from_tables(q_nodes, q_edges)
+    opt = QueryOptimizer(stats)
+    p = plan_of(
+        opt.plan(
+            QJoin(QEntityScan("PERSON"), QEntityScan("ORGANIZATION"), "inner"),
+            QGraphTables(q_nodes, q_edges),
+        )
+    )
+    sections.append((
+        "cost-optimized query-algebra join (cardinality-hinted broadcast)",
+        "The optimizer's cardinality estimate hints broadcast() on the "
+        "provably-small join side BEFORE execution, so the physical plan "
+        "shows BroadcastHashJoin without waiting for an AQE shuffle "
+        "materialization.",
+        summarize(p), p,
+    ))
+
     out = ["# PLANS — physical-plan audit evidence",
            "",
            "Generated by `scripts/plan_audit.py` (`local[8]`, AQE on, sf0.01 "

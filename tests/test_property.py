@@ -131,3 +131,52 @@ class TestExtractionProperties:
             assert subj in ids and obj in ids
             assert subj < obj or subj != obj  # unordered pair emitted once
             assert pred
+
+
+class TestJson5CleanerProperties:
+    """parse_json5 (config_loader.py) must invert json.dumps for any JSON
+    value, with or without injected comments and trailing commas."""
+
+    json_st = st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(-10**9, 10**9)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(max_size=40),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=12), children, max_size=4),
+        max_leaves=12,
+    )
+
+    @given(json_st)
+    @settings(max_examples=200, deadline=None)
+    def test_round_trip_plain(self, value):
+        import json
+
+        from graphrag_rs_spark.config_loader import parse_json5
+
+        if not isinstance(value, dict):
+            value = {"v": value}
+        assert parse_json5(json.dumps(value)) == value
+
+    @given(json_st, st.integers(0, 3))
+    @settings(max_examples=200, deadline=None)
+    def test_round_trip_with_comments(self, value, variant):
+        import json
+
+        from graphrag_rs_spark.config_loader import parse_json5
+
+        if not isinstance(value, dict):
+            value = {"v": value}
+        text = json.dumps(value, indent=2)
+        if variant == 0:
+            text = "// leading comment\n" + text + "\n// trailing\n"
+        elif variant == 1:
+            text = "/* block */\n" + text
+        elif variant == 2:
+            # inject a trailing comma before the final brace
+            head, _, _ = text.rpartition("}")
+            text = head + ", // tail\n}" if head.rstrip().endswith(('"', "]", "}", "e", "l")) or head.rstrip()[-1:].isdigit() else text
+        else:
+            text = text.replace("\n", " // c\n", 1)
+        assert parse_json5(text) == value
