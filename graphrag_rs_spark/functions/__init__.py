@@ -117,3 +117,27 @@ def with_salt(df: DataFrame, varying_col: str, buckets: int) -> DataFrame:
     return df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(varying_col)), F.lit(buckets)).cast("int")
     )
+
+
+def compute_once(df: DataFrame, exprs: dict[str, Column], tmp: str = "_co") -> DataFrame:
+    """Project expensive expressions through a ``Generate`` barrier so each
+    is evaluated ONCE per row.
+
+    Plain projections are merged by ``CollapseProject`` and predicates are
+    pushed through them by substitution, so an aliased expression gets its
+    DEFINITION inlined into every downstream reference — a when-cascade
+    with N string probes over a derived column re-scans the source string
+    N times (measured in fallback_relations: 38× substring / 228× locate
+    in the optimized plan, a 7× wall-time hit). ``explode`` of a 1-element
+    array is a Generate node Catalyst cannot substitute through: narrow,
+    whole-stage-codegen compatible, adds no rows, and downstream operators
+    reference the generated attributes as plain per-row values.
+
+    Use whenever a derived column is referenced many times in the same
+    stage (scoring expressions feeding cascades/windows/filters).
+    """
+    packed = F.struct(*[e.alias(n) for n, e in exprs.items()])
+    opened = df.select("*", F.explode(F.array(packed)).alias(tmp))
+    return opened.select(
+        "*", *[F.col(f"{tmp}.{n}").alias(n) for n in exprs]
+    ).drop(tmp)

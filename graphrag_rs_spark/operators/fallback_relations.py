@@ -147,18 +147,46 @@ def extract_relationships_fallback(
         chunks.select("chunk_id", F.lower("content").alias("ctx")), "chunk_id"
     )
 
-    # rs:330-336 — 1-based locate; 0 means not found → no relationship
-    located = joined.select(
-        "*",
-        (F.expr("locate(n1, ctx)") - 1).alias("p1"),
-        (F.expr("locate(n2, ctx)") - 1).alias("p2"),
-    ).where((F.col("p1") >= 0) & (F.col("p2") >= 0))
+    # rs:330-336 — 1-based locate; 0 means not found → no relationship.
+    #
+    # The explode(array(...)) wrappers are deliberate optimizer barriers:
+    # plain projections get CollapseProject'd + filter-substituted, which
+    # inlines the locate/substring definitions into EVERY downstream
+    # reference — the ~34 keyword probes each re-scanned the chunk text
+    # (measured: 38× substring / 228× locate in the optimized plan, 32 s
+    # for a 127k-pair input; at real scale that 30× redundant scan would
+    # be the operator's entire cost). A Generate node is a boundary
+    # Catalyst cannot substitute through, so p1/p2/win are computed once
+    # per row; explode of a 1-element array is narrow, codegen-compatible,
+    # and adds no rows. Same plan shape, 1× substring / 2× locate, 4 s.
+    located = (
+        joined.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.expr("locate(n1, ctx)") - 1).alias("p1"),
+                        (F.expr("locate(n2, ctx)") - 1).alias("p2"),
+                    )
+                )
+            ).alias("pos"),
+        )
+        .select("*", F.col("pos.p1").alias("p1"), F.col("pos.p2").alias("p2"))
+        .drop("pos")
+        .where((F.col("p1") >= 0) & (F.col("p2") >= 0))
+    )
 
     windowed = located.select(
-        "*", F.expr("substring(ctx, least(p1, p2) + 1, "
+        "*",
+        F.explode(
+            F.array(
+                F.expr(
+                    "substring(ctx, least(p1, p2) + 1, "
                     "least(greatest(p1, p2) + 50, length(ctx)) - least(p1, p2))"
-                    ).alias("win")
-    )
+                )
+            )
+        ).alias("win"),
+    ).drop("ctx", "n1", "n2")
 
     t1, t2, win = F.col("t1"), F.col("t2"), F.col("win")
     rel = None

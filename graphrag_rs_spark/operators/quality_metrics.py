@@ -121,6 +121,27 @@ def score_responses(
         / F.size(qwords)
     )
 
+    # barrier: each sub-score is referenced both as its own output column
+    # and inside overall_quality; compute_once stops CollapseProject from
+    # inlining the split/transform trees into every reference
+    from graphrag_rs_spark.functions import compute_once
+
+    responses = compute_once(
+        responses,
+        {
+            "source_credibility": cred,
+            "accuracy_score": accuracy,
+            "completeness_score": completeness,
+            "coherence_score": coherence,
+            "relevance_score": relevance,
+        },
+    )
+    cred = F.col("source_credibility")
+    accuracy = F.col("accuracy_score")
+    completeness = F.col("completeness_score")
+    coherence = F.col("coherence_score")
+    relevance = F.col("relevance_score")
+
     overall = F.least(
         accuracy * 0.3 + completeness * 0.25 + coherence * 0.2
         + relevance * 0.15 + cred * 0.1,
@@ -139,12 +160,7 @@ def score_responses(
     )
 
     return (
-        responses.withColumn("source_credibility", cred)
-        .withColumn("accuracy_score", accuracy)
-        .withColumn("completeness_score", completeness)
-        .withColumn("coherence_score", coherence)
-        .withColumn("relevance_score", relevance)
-        .withColumn("overall_quality", overall)
+        responses.withColumn("overall_quality", overall)
         .withColumn("retrieval_strategy", strategy)
     )
 

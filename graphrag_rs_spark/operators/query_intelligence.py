@@ -94,8 +94,13 @@ def rerank_cross_encoder(
     """
     rel = relevance_expr(F.col(query_col), F.col(content_col),
                          normalize=normalize_scores)
+    # barrier: relevance_score is referenced by score_delta, the filter,
+    # and the window order — without it the token-Jaccard splits inline
+    # into each reference (measured split() x26 in the optimized plan)
+    from graphrag_rs_spark.functions import compute_once
+
     out = (
-        candidates.withColumn("relevance_score", rel)
+        compute_once(candidates, {"relevance_score": rel})
         .withColumn("original_score",
                     F.col(score_col).cast("double"))
         .withColumn("score_delta",
@@ -203,6 +208,18 @@ def route_queries(
         .otherwise(F.lit(-0.7))
     )
 
+    # The three scores feed total -> complexity -> level, each referenced
+    # several times; without a barrier CollapseProject inlines the 26
+    # contains probes ~20x (measured: lower() x1728 in the optimized
+    # plan). compute_once evaluates them one time per row.
+    from graphrag_rs_spark.functions import compute_once
+
+    queries = compute_once(
+        queries, {"keyword_score": kw, "length_score": ln, "entity_score": en}
+    )
+    kw, ln, en = (
+        F.col("keyword_score"), F.col("length_score"), F.col("entity_score")
+    )
     total = (kw * keyword_weight + ln * length_weight + en * entity_weight)
 
     complexity = (
@@ -221,10 +238,7 @@ def route_queries(
     )
 
     return (
-        queries.withColumn("keyword_score", kw)
-        .withColumn("length_score", ln)
-        .withColumn("entity_score", en)
-        .withColumn("total_score", total)
+        queries.withColumn("total_score", total)
         .withColumn("complexity", complexity)
         .withColumn("suggested_level", level)
     )

@@ -246,15 +246,30 @@ def fuzzy_match_entities(
     )
 
     joined = n.crossJoin(q)
-    sim = _jvm_fuzzy_similarity(F.col("_q_lower"), F.col("_n_lower"))
     exact_score = F.lit(1.0 if boost_exact_matches else 0.95)
 
     # entity-type word overlap (rs:410-422): |q_words ∩ {type}| / min(len)
     qw_list = F.split(F.trim("_q_lower"), r"\s+")  # raw word LIST
     type_hit = F.array_contains(qw_list, F.col("_t_lower"))
-    type_overlap = F.when(
-        type_hit, F.lit(1.0) / F.least(F.size(qw_list), F.lit(1)).cast("double")
-    ).otherwise(F.lit(0.0))
+
+    # barrier: the combined similarity (splits + array_intersect +
+    # levenshtein) is referenced by the score whens AND the downstream
+    # branch filters; without compute_once its definition inlines into
+    # every reference (measured split() x80 in the optimized plan)
+    from graphrag_rs_spark.functions import compute_once
+
+    joined = compute_once(
+        joined,
+        {
+            "_sim": _jvm_fuzzy_similarity(F.col("_q_lower"), F.col("_n_lower")),
+            "_type_overlap": F.when(
+                type_hit,
+                F.lit(1.0) / F.least(F.size(qw_list), F.lit(1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        },
+    )
+    sim = F.col("_sim")
+    type_overlap = F.col("_type_overlap")
 
     scored = joined.select(
         "query",
@@ -329,17 +344,29 @@ def fuzzy_match_chunks(
         F.lower(F.col(content_col)).alias("_c_lower"),
     )
     joined = c.crossJoin(q)
-    sim = _jvm_fuzzy_similarity(F.col("_q_lower"), F.col("_c_lower"))
     # word_overlap quirk (rs:627-639): denominator is min RAW LIST length
     qw = F.split(F.trim("_q_lower"), r"\s+")
     cw = F.split(F.trim("_c_lower"), r"\s+")
     inter = F.size(
         F.array_intersect(F.array_distinct(qw), F.array_distinct(cw))
     ).cast("double")
-    overlap = F.when(
-        F.least(F.size(qw), F.size(cw)) > 0,
-        inter / F.least(F.size(qw), F.size(cw)).cast("double"),
-    ).otherwise(F.lit(0.0))
+
+    # same compute_once barrier as the entity arm: sim/overlap feed score
+    # whens and downstream branch filters over LONG chunk texts
+    from graphrag_rs_spark.functions import compute_once
+
+    joined = compute_once(
+        joined,
+        {
+            "_sim": _jvm_fuzzy_similarity(F.col("_q_lower"), F.col("_c_lower")),
+            "_overlap": F.when(
+                F.least(F.size(qw), F.size(cw)) > 0,
+                inter / F.least(F.size(qw), F.size(cw)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        },
+    )
+    sim = F.col("_sim")
+    overlap = F.col("_overlap")
 
     scored = joined.select(
         "query",
