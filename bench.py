@@ -28,6 +28,13 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_CONVS = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "0"))  # 0 → scale by sf
+# best-of reps for the headline build: this host shows random multi-minute
+# kernel-stall episodes (BENCH.md §Methodology) that can triple a single
+# build's wall; two timed builds make the recorded headline a throughput
+# measurement instead of a draw from the interference lottery. Scaling
+# legs (--kg-only) keep 1 rep — scripts/scaling_bench.py interleaves and
+# best-ofs across its own reps so pairs share ambient conditions.
+KG_REPS = int(os.environ.get("SPARK_GRAFT_KG_REPS", "2"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -73,7 +80,7 @@ def build_spark() -> SparkSession:
     return spark
 
 
-def bench_kg(spark: SparkSession, sf: float) -> dict:
+def bench_kg(spark: SparkSession, sf: float, reps: int = KG_REPS) -> dict:
     """Full build over synthetic transcripts; returns timings + counts."""
     from graphrag_rs_spark.config import PipelineConfig
     from graphrag_rs_spark.fixtures import ScaledVocab, transcripts_df
@@ -129,29 +136,43 @@ def bench_kg(spark: SparkSession, sf: float) -> dict:
             print(f"phase {label}: {t1 - t:.1f}s", file=sys.stderr, flush=True)
         return t1
 
-    t0 = time.perf_counter()
-    tables = build_graph(spark, transcripts, cfg)
-    t = mark("build_graph (eager canonicalization)", t0)
-    # count triple occurrences as sum(size(triples)) over the cached nested
-    # extraction — identical to edges_raw.count() (edges_raw is its explode)
-    # without paying a 40M-row explode purely for the metric. NULL arrays
-    # (size -1 under legacy sizeOfNull) are clamped to 0 so a null triples
-    # row can never silently deflate the headline metric.
-    n_triples_raw = tables["extraction"].agg(
-        F.sum(F.greatest(F.coalesce(F.size("triples"), F.lit(0)), F.lit(0)))
-    ).collect()[0][0]
-    t = mark("extraction + triple count", t)
-    n_edges = tables["edges"].count()
-    t = mark("edges materialize + count", t)
-    n_nodes = tables["nodes"].count()
-    mark("nodes count", t)
-    build_s = time.perf_counter() - t0
+    build_walls: list[float] = []
+    n_triples_raw = n_edges = n_nodes = 0
+    for rep in range(max(1, reps)):
+        t0 = time.perf_counter()
+        tables = build_graph(spark, transcripts, cfg)
+        t = mark(f"rep{rep} build_graph (eager canonicalization)", t0)
+        # count triple occurrences as sum(size(triples)) over the cached
+        # nested extraction — identical to edges_raw.count() (edges_raw is
+        # its explode) without paying a 40M-row explode purely for the
+        # metric. NULL arrays (size -1 under legacy sizeOfNull) are clamped
+        # to 0 so a null triples row can never silently deflate the metric.
+        n_triples_raw = tables["extraction"].agg(
+            F.sum(F.greatest(F.coalesce(F.size("triples"), F.lit(0)), F.lit(0)))
+        ).collect()[0][0]
+        t = mark(f"rep{rep} extraction + triple count", t)
+        n_edges = tables["edges"].count()
+        t = mark(f"rep{rep} edges materialize + count", t)
+        n_nodes = tables["nodes"].count()
+        mark(f"rep{rep} nodes count", t)
+        build_walls.append(time.perf_counter() - t0)
+        if rep + 1 < max(1, reps):
+            # drop this rep's internal stage caches (extraction /
+            # entities_raw / clusters / edges) so the next rep rebuilds from
+            # the cached input, pricing the build — not a cache hit ...
+            spark.catalog.clearCache()
+            # ... but clearCache also evicted the INPUT; re-materialize it
+            # outside the timed window so rep N+1 doesn't pay generation
+            transcripts = transcripts.cache()
+            transcripts.count()
     transcripts.unpersist()
+    build_s = min(build_walls)
     return {
         "n_convs": n_convs,
         "n_turns": n_turns,
         "gen_sec": round(gen_s, 3),
         "kg_build_sec": round(build_s, 3),
+        "kg_build_walls": [round(w, 3) for w in build_walls],
         "n_triples_raw": n_triples_raw,
         "n_edges": n_edges,
         "n_nodes": n_nodes,
@@ -207,6 +228,11 @@ def _bench_settings(kg_only: bool) -> dict:
         "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
         "sweep_reps": 2,
         "sweep_agg": "min",
+        "kg_build_reps": (
+            1 if (kg_only and "SPARK_GRAFT_KG_REPS" not in os.environ)
+            else KG_REPS
+        ),
+        "kg_build_agg": "min",
     }
 
 
@@ -225,7 +251,11 @@ def main() -> None:
         return
 
     spark = build_spark()
-    kg = bench_kg(spark, sf)
+    # scaling legs (--kg-only) run ONE timed build unless the env overrides:
+    # scripts/scaling_bench.py interleaves its own reps so the two
+    # parallelism levels of a rep share ambient host conditions
+    reps = 1 if (kg_only and "SPARK_GRAFT_KG_REPS" not in os.environ) else KG_REPS
+    kg = bench_kg(spark, sf, reps=reps)
     queries: dict[str, float] = {"kg_build": kg["kg_build_sec"]}
     spark.stop()
 
