@@ -69,6 +69,29 @@ def restore_object_agg(spark: SparkSession) -> None:
             pass
 
 
+def euclidean_distance_col(v1: Column, v2: Column) -> Column:
+    """Euclidean distance of two array columns, fully JVM-side
+    (graphrag-rs vector/mod.rs:750-761 VectorUtils::euclidean_distance,
+    incl. the length-mismatch → +Inf guard)."""
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(v1, v2, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when(F.size(v1) == F.size(v2), dist).otherwise(
+        F.lit(float("inf"))
+    )
+
+
+def clean_text_col(text: Column) -> Column:
+    """Whitespace-normalizing text cleaner (graphrag-rs text/mod.rs:327-336
+    TextProcessor::clean_text: split_whitespace + join — i.e. squash runs
+    of whitespace to one space and trim the ends)."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
 def normalize_name_col(name: Column) -> Column:
     """JVM equivalent of rules.similarity.normalize_string for ASCII input:
     lowercase, strip non-alnum/space, squash whitespace, trim."""
