@@ -361,6 +361,34 @@ def main() -> None:
         summarize(p), p,
     ))
 
+    # -- semantic merger candidate edges (entity/semantic_merging.rs port)
+    from graphrag_rs_spark.operators.semantic_merge import candidate_match_edges
+
+    sm_entities = spark.range(20000).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("entity_id"),
+        F.concat(
+            F.lit("Entity "),
+            (F.col("id") % 4000).cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit(" Inc")).otherwise(F.lit("")),
+        ).alias("name"),
+        F.when(F.col("id") % 2 == 0, F.lit("ORGANIZATION"))
+        .otherwise(F.lit("PERSON"))
+        .alias("entity_type"),
+        F.lit(0.9).alias("confidence"),
+        F.col("id").alias("order"),
+    )
+    p = plan_of(candidate_match_edges(sm_entities, 0.7, all_pairs_gate=1000))
+    sections.append((
+        "semantic-merge candidate edges (blocked pair generation, JVM similarity)",
+        "Above the all-pairs gate the pair space must come from token/prefix "
+        "blocking (no cross join), the hot-block filter must broadcast the "
+        "per-key counts, and the 0.7*name+0.3*type similarity must run in "
+        "whole-stage codegen so only true match edges leave the stage "
+        "(zero Python stages in this plan; the greedy replay downstream is "
+        "a cogrouped Arrow pass by design).",
+        summarize(p), p,
+    ))
+
     out = ["# PLANS — physical-plan audit evidence",
            "",
            "Generated by `scripts/plan_audit.py` (`local[8]`, AQE on, sf0.01 "
