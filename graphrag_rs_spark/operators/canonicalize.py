@@ -219,8 +219,10 @@ def candidate_pairs(
         )
         .where(
             (F.size("members") > 1)
-            & (F.size("members") <= F.lit(hard_max) if hard_max
-               else (F.size("members") <= F.col("cap")))
+            & (
+                (F.size("members") <= F.lit(hard_max)) if hard_max
+                else (F.size("members") <= F.col("cap"))
+            )
         )
         .select("members", "cap")
     )

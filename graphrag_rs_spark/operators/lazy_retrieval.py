@@ -533,6 +533,16 @@ def iterative_deepening_search(
         )
         cur = cur.unionByName(expanded).distinct().localCheckpoint(eager=True)
 
+    if visited is None:
+        # max_depth=0: the loop never ran — an empty frame with the real
+        # column types (query from q, chunk_id from the caller's mention
+        # index) keeps the result/summary contract instead of crashing
+        visited = (
+            q.limit(0)
+            .crossJoin(ment.limit(0).select("chunk_id"))
+            .withColumn("depth_found", F.lit(0))
+        )
+
     summary = (
         state.join(
             visited.groupBy("query").agg(F.count("*").alias("total_chunks")),

@@ -106,7 +106,23 @@ def repoint_edges(
         # materialized snapshot for both scans
         .localCheckpoint(eager=False)
     )
-    linkmap = clusters.select("entity_id", "cluster_id").join(codes, "cluster_id")
+    # Identity rows for cluster_ids that are NOT themselves mapped
+    # entity_ids: a raw endpoint string equal to such a cluster_id must
+    # land in the SAME group as rows coded to that cluster (the legacy
+    # path groups on decoded strings, where they collide). Pipeline-
+    # produced clusters always contain their representative, so this
+    # anti-join is empty there; it only fires on foreign inputs.
+    identity = (
+        codes.select(
+            F.col("cluster_id").alias("entity_id"), "cluster_id", "_code"
+        )
+        .join(clusters.select("entity_id"), "entity_id", "left_anti")
+    )
+    linkmap = (
+        clusters.select("entity_id", "cluster_id")
+        .join(codes, "cluster_id")
+        .unionByName(identity)
+    )
     if broadcast_linkmap:
         linkmap = F.broadcast(linkmap)
 
@@ -169,6 +185,13 @@ def repoint_edges(
             "confidence",
             "context",
         )
+        # The pre-agg coded filter is conservative: it cannot see a
+        # MAPPED endpoint whose cluster_id string equals the other
+        # side's UNMAPPED raw string (code vs raw compare), and it keeps
+        # rows with NULL endpoints that the legacy path's `subj != obj`
+        # null semantics drop. Finish both on the decoded (post-agg,
+        # small) rows so the two paths are row-identical on any input.
+        .where(F.col("subj") != F.col("obj"))
     )
 
 

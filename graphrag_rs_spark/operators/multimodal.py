@@ -42,7 +42,10 @@ def media_table(df: DataFrame, payload_col: str, kind: str, id_col: str) -> Data
 
 
 def extract_features(
-    media: DataFrame, n_features: int = 16, decode: str = "fake"
+    media: DataFrame,
+    n_features: int = 16,
+    decode: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-payload feature vectors via ``mapInPandas`` (Arrow binary batches).
 
@@ -51,7 +54,16 @@ def extract_features(
     the stdlib kernels (PNG → normalized luminance histogram over decoded
     pixels; WAV → normalized amplitude histogram over decoded samples);
     unsupported formats raise ``ValueError`` — the PIL/ffmpeg plug point.
+
+    ``on_error`` (real decode only): ``"raise"`` fails the stage on the
+    first undecodable payload (fail-fast default, matches the plug-point
+    contract above); ``"skip"`` isolates failures per payload — corrupt
+    or unsupported media simply emit no features row, so one bad blob
+    cannot kill a 100-TB job (diagnose the skipped ids by joining
+    ``decode_media``'s ``ok = false`` rows).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def feat_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -85,7 +97,17 @@ def extract_features(
             ):
                 buf = bytes(payload or b"")
                 if decode == "real":
-                    feats = real_features(buf)
+                    # a sniffed-but-corrupt payload raises zlib/struct
+                    # errors from the kernel, not just ValueError — catch
+                    # everything so "skip" truly isolates per payload
+                    try:
+                        feats = real_features(buf)
+                    except Exception as e:  # noqa: BLE001
+                        if on_error == "raise":
+                            raise ValueError(
+                                f"media_id={media_id}: {e}"
+                            ) from e
+                        continue
                 else:
                     arr = np.frombuffer(buf, dtype=np.uint8)
                     if arr.size:

@@ -188,9 +188,14 @@ def _jvm_fuzzy_similarity(qcol, ncol):
     Word sets via split on whitespace → array_distinct; Jaccard and
     containment from array_intersect sizes; Levenshtein via the built-in.
     Whole-stage-codegen throughout — no Python in the scan.
+
+    ``array_remove(…, "")`` matches Python's ``"".split() == []``:
+    without it an empty/whitespace-only string tokenizes as one empty
+    token ([""]), scoring blank-vs-blank pairs 1.0 where the twin
+    ``rules.rograg.fuzzy_text_similarity`` scores 0.6.
     """
-    qw = F.array_distinct(F.split(F.trim(qcol), r"\s+"))
-    nw = F.array_distinct(F.split(F.trim(ncol), r"\s+"))
+    qw = F.array_remove(F.array_distinct(F.split(F.trim(qcol), r"\s+")), "")
+    nw = F.array_remove(F.array_distinct(F.split(F.trim(ncol), r"\s+")), "")
     inter = F.size(F.array_intersect(qw, nw)).cast("double")
     union = (F.size(qw) + F.size(nw)).cast("double") - inter
     jaccard = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

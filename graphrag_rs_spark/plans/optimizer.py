@@ -232,11 +232,23 @@ class QueryOptimizer:
         if isinstance(op, Join):
             left = self._optimize_joins(op.left)
             right = self._optimize_joins(op.right)
-            operands: list[QueryOp] = []
-            self._collect_join_operands(left, operands)
-            self._collect_join_operands(right, operands)
-            if len(operands) > 2:
-                return self._greedy_join_order(operands, op.join_type)
+            # Greedy multi-way reordering is only sound for pure-inner
+            # subtrees: every operand compiles to a same-schema subset of
+            # the node table, so inner joins are set intersections —
+            # commutative and associative. left_outer is side-sensitive
+            # and cross changes both schema and cardinality, so those
+            # subtrees are kept as leaves. NOTE deliberate divergence from
+            # the reference here: optimizer.rs:244-259 flattens through
+            # ANY nested join and rebuilds every pair with the OUTER
+            # join_type, silently converting a nested left_outer/cross to
+            # inner — a result-changing quirk we do not reproduce because
+            # plan() executes the optimized tree.
+            if op.join_type == "inner":
+                operands: list[QueryOp] = []
+                self._collect_join_operands(left, operands)
+                self._collect_join_operands(right, operands)
+                if len(operands) > 2:
+                    return self._greedy_join_order(operands, op.join_type)
             return Join(left, right, op.join_type)
         if isinstance(op, Filter):
             return Filter(self._optimize_joins(op.source), op.property, op.value)
@@ -251,7 +263,9 @@ class QueryOptimizer:
         return op
 
     def _collect_join_operands(self, op: QueryOp, out: list[QueryOp]) -> None:
-        if isinstance(op, Join):
+        # flatten only through inner joins; any other join is an operand
+        # (see _optimize_joins for the reference-divergence rationale)
+        if isinstance(op, Join) and op.join_type == "inner":
             self._collect_join_operands(op.left, out)
             self._collect_join_operands(op.right, out)
         else:

@@ -53,15 +53,24 @@ class MergeSpec:
     def apply(self, target: DataFrame, source: DataFrame) -> DataFrame:
         """The MERGE's dataflow as DataFrame ops: full-outer join on the
         keys; matched rows evaluate the update expressions, target-only
-        rows pass through, source-only rows insert as-is."""
-        t, s = target.alias("t"), source.alias("s")
+        rows pass through, source-only rows insert as-is.
+
+        Plain ``=`` on the keys (NOT eqNullSafe), exactly like the
+        generated ``ON t.k = s.k``: a NULL key never matches, so a
+        NULL-key target row passes through unchanged and a NULL-key
+        source row inserts as a new row — Iceberg MERGE semantics. Side
+        presence is detected with marker literals, not key nullness,
+        so those NULL-key rows keep their own values.
+        """
+        t = target.withColumn("_t_hit", F.lit(True)).alias("t")
+        s = source.withColumn("_s_hit", F.lit(True)).alias("s")
         cond = reduce(
             lambda a, b: a & b,
-            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in self.keys],
         )
         j = t.join(s, cond, "full_outer")
-        t_hit = F.col(f"t.{self.keys[0]}").isNotNull()
-        s_hit = F.col(f"s.{self.keys[0]}").isNotNull()
+        t_hit = F.col("t._t_hit").isNotNull()
+        s_hit = F.col("s._s_hit").isNotNull()
         cols = [
             F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
             for k in self.keys

@@ -42,9 +42,15 @@ def main() -> None:
     ap.add_argument("--config", default=None,
                     help="TOML/JSON5/YAML config file (reference RawConfig "
                          "schema + [spark] section); CLI flags override it")
-    ap.add_argument("--chunk-size", type=int, default=1000)
-    ap.add_argument("--chunk-overlap", type=int, default=200)
-    ap.add_argument("--gleaning-rounds", type=int, default=1)
+    # None sentinels (not the real defaults) so an EXPLICIT flag is
+    # distinguishable from an untouched one — `--chunk-size 1000` must
+    # override a config file even though 1000 is also the default
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="default 1000")
+    ap.add_argument("--chunk-overlap", type=int, default=None,
+                    help="default 200")
+    ap.add_argument("--gleaning-rounds", type=int, default=None,
+                    help="default 1")
     ap.add_argument("--semantic-edges", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=0,
                     help="0 = leave spark-submit / AQE defaults")
@@ -69,28 +75,30 @@ def main() -> None:
         from graphrag_rs_spark.config_loader import load_config
 
         base = load_config(args.config)
-        # explicit CLI flags override the file (compare against parser
-        # defaults so untouched flags defer to the file's values)
+        # explicit CLI flags override the file; untouched flags (None
+        # sentinel) defer to the file's values
         overrides = {}
-        defaults = ap.parse_args([
-            "--input", args.input, "--output", args.output,
-        ])
         for flag, field in [
             ("chunk_size", "chunk_size"),
             ("chunk_overlap", "chunk_overlap"),
             ("gleaning_rounds", "max_gleaning_rounds"),
-            ("semantic_edges", "semantic_edges"),
         ]:
-            if getattr(args, flag) != getattr(defaults, flag):
+            if getattr(args, flag) is not None:
                 overrides[field] = getattr(args, flag)
+        if args.semantic_edges:
+            overrides["semantic_edges"] = True
         if args.shuffle_partitions:
             overrides["shuffle_partitions"] = args.shuffle_partitions
         config = replace(base, **overrides)
     else:
         config = PipelineConfig(
-            chunk_size=args.chunk_size,
-            chunk_overlap=args.chunk_overlap,
-            max_gleaning_rounds=args.gleaning_rounds,
+            chunk_size=args.chunk_size if args.chunk_size is not None else 1000,
+            chunk_overlap=(
+                args.chunk_overlap if args.chunk_overlap is not None else 200
+            ),
+            max_gleaning_rounds=(
+                args.gleaning_rounds if args.gleaning_rounds is not None else 1
+            ),
             semantic_edges=args.semantic_edges,
             shuffle_partitions=args.shuffle_partitions or 200,
         )

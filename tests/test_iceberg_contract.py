@@ -101,6 +101,33 @@ def test_edges_merge_spec_matches_workspace_merge(spark):
     assert ("A", "KNOWS", "B", ("c1", "c2", "c3"), 6) in got
 
 
+def test_null_keys_follow_merge_sql_semantics(spark):
+    # the generated ON clause is plain `t.k = s.k`: a NULL key never
+    # matches, so a NULL-key target row passes through UNCHANGED and a
+    # NULL-key source row INSERTS — two output rows, each keeping its
+    # own values (apply() must not pair them via null-safe equality,
+    # and must not blank the target row's columns)
+    old = _entities(spark, [
+        (None, "Ghost T", "PERSON", 0.9, 3, ["gt"], "b"),
+        ("E1", "Alice", "PERSON", 0.8, 1, [], "a"),
+    ])
+    new = _entities(spark, [
+        (None, "Ghost S", "PERSON", 0.5, 7, ["gs"], "c"),
+    ])
+    got = sorted(
+        [
+            (r[0], r[1], r[3], r[4], tuple(r[5]))
+            for r in ENTITIES_RAW_MERGE.apply(old, new).collect()
+        ],
+        key=str,
+    )
+    assert got == sorted([
+        (None, "Ghost T", 0.9, 3, ("gt",)),   # target row untouched
+        (None, "Ghost S", 0.5, 7, ("gs",)),   # source row inserted
+        ("E1", "Alice", 0.8, 1, ()),          # unmatched target
+    ], key=str)
+
+
 def test_merge_sql_carries_every_non_key_column(spark):
     # a column added to the workspace schema without a MERGE update rule
     # should fail HERE, not silently stay stale on the cluster path

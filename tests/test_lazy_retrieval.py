@@ -212,6 +212,28 @@ def test_iterative_deepening_full_trace(spark, concept_world):
     assert s["stop_reason"] == "NoMoreConcepts"
 
 
+def test_iterative_deepening_max_depth_zero(spark, concept_world):
+    # degenerate max_depth=0: loop never runs — must return an empty
+    # chunks frame and a MaxDepthReached summary, not crash on a None
+    # visited frame
+    from graphrag_rs_spark.operators.lazy_retrieval import (
+        iterative_deepening_search,
+    )
+
+    concepts, relations, mentions = concept_world
+    queries = spark.createDataFrame(
+        [("Tell me about Machine Learning",)], "query string"
+    )
+    chunks, summary = iterative_deepening_search(
+        queries, concepts, relations, mentions, max_depth=0,
+    )
+    assert chunks.count() == 0
+    s = summary.collect()[0]
+    assert s["total_chunks"] == 0
+    assert s["depth_reached"] == 0
+    assert s["stop_reason"] == "MaxDepthReached"
+
+
 def test_iterative_deepening_max_chunks_stop(spark, concept_world):
     from graphrag_rs_spark.operators.lazy_retrieval import (
         iterative_deepening_search,

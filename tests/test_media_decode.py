@@ -191,3 +191,31 @@ def test_extract_features_real_decode(spark):
     for r in feats:
         assert len(r["features"]) == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+
+def test_extract_features_on_error_skip_isolates_bad_payloads(spark):
+    # one JPEG-ish blob and one truncated PNG among valid media: with
+    # on_error="skip" the bad payloads emit no row instead of killing
+    # the stage; default on_error="raise" still fails fast.
+    from graphrag_rs_spark.operators.multimodal import extract_features, media_table
+
+    png = encode_png(_rng_pixels(8, 8, 3))
+    wav = encode_wav(
+        (np.sin(np.arange(200)) * 9000).astype(np.int16), sample_rate=8000
+    )
+    df = spark.createDataFrame(
+        [
+            (1, png),
+            (2, wav),
+            (3, b"\xff\xd8\xff\xe0 not-actually-decodable"),  # JPEG magic
+            (4, png[: len(png) // 2]),  # truncated PNG: zlib error
+        ],
+        "media_id long, payload binary",
+    )
+    media = media_table(df, "payload", "mixed", "media_id")
+    ok = extract_features(media, n_features=8, decode="real", on_error="skip")
+    assert sorted(r["media_id"] for r in ok.collect()) == ["1", "2"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="media_id"):
+        extract_features(media, n_features=8, decode="real").collect()

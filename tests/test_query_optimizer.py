@@ -145,6 +145,40 @@ class TestCostModelDetails:
             EntityScan("LOCATION"),
         }
 
+    def test_nested_left_outer_not_flattened(self):
+        # Deliberate divergence from optimizer.rs:244-259 (which flattens
+        # through ANY join and rebuilds with the outer type): a nested
+        # left_outer subtree must survive as an opaque operand, keeping
+        # its join type and its side order.
+        opt = QueryOptimizer(ref_stats())
+        lo = Join(EntityScan("PERSON"), EntityScan("LOCATION"), "left_outer")
+        q = Join(Join(lo, EntityScan("ORGANIZATION"), "inner"),
+                 EntityScan("PERSON"), "inner")
+        optimized = opt.optimize(q)
+
+        def join_types(op, acc):
+            if isinstance(op, Join):
+                acc.append(op.join_type)
+                join_types(op.left, acc)
+                join_types(op.right, acc)
+            return acc
+
+        assert sorted(join_types(optimized, [])) == [
+            "inner", "inner", "left_outer"
+        ]
+
+        def find_lo(op):
+            if isinstance(op, Join):
+                if op.join_type == "left_outer":
+                    return op
+                return find_lo(op.left) or find_lo(op.right)
+            return None
+
+        survived = find_lo(optimized)
+        assert survived is not None
+        assert survived.left == EntityScan("PERSON")  # side order kept
+        assert survived.right == EntityScan("LOCATION")
+
     def test_explain_format_lines(self):
         opt = QueryOptimizer(ref_stats())
         plan = opt.explain(Limit(EntityScan("PERSON"), 5))
@@ -205,6 +239,23 @@ class TestSparkIntegration:
         # intersect PERSON -> P1,P2 only if bfs is directed. Pin whichever
         # the baseline computes (parity is the contract here), non-empty.
         assert planned
+
+    def test_nested_left_outer_rows_survive_optimization(self, small_graph):
+        # left_outer(PERSON, ORGANIZATION) keeps all three persons (no
+        # cluster_id overlap); inner with PERSON keeps them. The old
+        # reference-faithful flatten rebuilt [PERSON, ORG, PERSON] as
+        # all-inner -> empty intersection. Pin the correct rows.
+        stats = GraphStatistics.from_tables(small_graph.nodes, small_graph.edges)
+        opt = QueryOptimizer(stats)
+        q = Join(
+            Join(EntityScan("PERSON"), EntityScan("ORGANIZATION"), "left_outer"),
+            EntityScan("PERSON"),
+            "inner",
+        )
+        baseline = {r["cluster_id"] for r in compile_op(q, small_graph).collect()}
+        planned = {r["cluster_id"] for r in opt.plan(q, small_graph).collect()}
+        assert baseline == {"P1", "P2", "P3"}
+        assert planned == baseline
 
     def test_plan_emits_broadcast_hint(self, small_graph):
         stats = GraphStatistics.from_tables(small_graph.nodes, small_graph.edges)

@@ -472,6 +472,31 @@ def test_fuzzy_match_entities_exact_and_partial(spark, rograg_graph):
         assert r["similarity"] == pytest.approx(expect, abs=1e-6)
 
 
+def test_jvm_fuzzy_similarity_blank_strings_match_twin(spark):
+    # empty/whitespace-only strings: split(trim("")) is [""] on the JVM,
+    # but "".split() is [] in Python — the array_remove(…, "") in
+    # _jvm_fuzzy_similarity keeps the two twins identical (blank-vs-blank
+    # must score 0.6 = containment 0.4 + levenshtein 0.2, never 1.0)
+    from pyspark.sql import functions as F
+
+    from graphrag_rs_spark.operators.rograg import _jvm_fuzzy_similarity
+
+    pairs = [("", ""), ("   ", ""), ("", "entity name"),
+             ("  ", "entity"), ("entity", "entity")]
+    df = spark.createDataFrame(pairs, "q string, n string")
+    got = {
+        (r["q"], r["n"]): r["sim"]
+        for r in df.select(
+            "q", "n", _jvm_fuzzy_similarity(F.col("q"), F.col("n")).alias("sim")
+        ).collect()
+    }
+    for q, n in pairs:
+        assert got[(q, n)] == pytest.approx(
+            fuzzy_text_similarity(q, n), abs=1e-9
+        ), (q, n)
+    assert got[("", "")] == pytest.approx(0.6)
+
+
 def test_fuzzy_match_threshold_excludes(spark, rograg_graph):
     # rs:927-933: nonsense query → no name matches
     from graphrag_rs_spark.operators.rograg import fuzzy_match_entities

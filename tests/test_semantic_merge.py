@@ -276,6 +276,33 @@ def test_apply_merges(spark, apple_df):
     assert merged["entity3"]["confidence"] == pytest.approx(0.9)
 
 
+def test_default_order_uses_entity_id_without_window_funnel(spark, apple_df):
+    # no order_col: entity_id itself is the order key. Groups match the
+    # explicit-order run (entity_id sort == the fixture's order), and
+    # the plan has NO unpartitioned Window (the old row_number funnel
+    # pushed the whole entity table through one task).
+    decisions = semantic_merge_entities(apple_df.drop("order"), threshold=0.7)
+    by_id = {r["entity_id"]: r for r in decisions.collect()}
+    assert by_id["entity1"]["is_seed"]
+    assert by_id["entity2"]["group_id"] == "entity1"
+    assert by_id["entity1"]["merged_name"] == "Apple Inc."
+    assert by_id["entity3"]["group_id"] is None
+    plan = decisions._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_low_threshold_above_gate_refuses_blocking(spark, apple_df):
+    # threshold < 0.3 makes every same-type pair a match edge — dense by
+    # definition, silently unrepresentable by blocking — so the operator
+    # must refuse rather than lose matches the exact path finds
+    with pytest.raises(ValueError, match="all-pairs"):
+        candidate_match_edges(apple_df, 0.2, all_pairs_gate=2)
+    # below the gate the exact path still serves low thresholds
+    edges = candidate_match_edges(apple_df, 0.2, all_pairs_gate=100)
+    got = {(r["id1"], r["id2"]) for r in edges.collect()}
+    assert ("entity1", "entity3") in got  # same-type, disjoint names
+
+
 def test_blocked_candidates_match_all_pairs(spark):
     """Above-gate blocked generator ≡ exact all-pairs on token-sharing
     names (the documented blocking contract)."""
