@@ -69,6 +69,15 @@ def restore_object_agg(spark: SparkSession) -> None:
             pass
 
 
+def ws_tokens(col: Column) -> Column:
+    """``str::split_whitespace`` twin: split on whitespace runs and drop
+    the empty tokens a leading/trailing run leaves behind (split(trim())
+    yields [""] for blank input — NOT []). The single shared definition;
+    operators alias it rather than re-deriving the expression, so a
+    tokenization fix lands everywhere at once."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
 def euclidean_distance_col(v1: Column, v2: Column) -> Column:
     """Euclidean distance of two array columns, fully JVM-side
     (graphrag-rs vector/mod.rs:750-761 VectorUtils::euclidean_distance,

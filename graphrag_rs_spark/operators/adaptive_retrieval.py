@@ -58,7 +58,13 @@ def analyze_queries(
     distributed analogue; counts and containment semantics — all that
     downstream logic reads — are order-independent).
     """
-    words_col = F.split(F.lower(F.trim(F.col(query_col))), r"\s+")
+    # array_remove(…, "") mirrors Python's "".split() == [] — without it
+    # an empty/whitespace-only query tokenizes as [""], and contains("")
+    # is true for EVERY entity name: the broadcast join would roll the
+    # whole entity table's names into that one query's key_entities
+    words_col = F.array_remove(
+        F.split(F.lower(F.trim(F.col(query_col))), r"\s+"), ""
+    )
     q = queries.withColumn("_words", words_col)
 
     # entity detection: broadcast the (small) query batch, stream the
@@ -214,9 +220,17 @@ def fuse_adaptive(
             pdf = pdf.sort_values(
                 [score_col, id_col], ascending=[False, True],
                 kind="stable")
+        def _ents(v):
+            # Arrow list columns arrive as numpy arrays, whose truth
+            # value is ambiguous for length ≥ 2 (`v or ()` crashes);
+            # nulls arrive as None (or NaN on some pandas paths)
+            if v is None or isinstance(v, float):
+                return ()
+            return tuple(v)
+
         cands = [
             Candidate(str(r[id_col]), float(r[score_col]),
-                      tuple(r[entities_col] or ()))
+                      _ents(r[entities_col]))
             for _, r in pdf.iterrows()
         ]
         chosen = cross_strategy_fusion(cands, max_results)

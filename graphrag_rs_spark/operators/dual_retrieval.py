@@ -40,12 +40,21 @@ MAX_KEYWORDS = 20  # keyword_extraction.rs:37
 
 
 def fallback_keywords_expr(query_col: Column) -> Column:
-    """keyword_extraction.rs:174-180 — words >3 chars, first 10,
-    lowercased. Pure JVM (reference filters on byte length; identical
-    for the ASCII queries the reference tests pin)."""
+    """keyword_extraction.rs:174-180 — words longer than 3 BYTES
+    (Rust ``str::len``), first 10, lowercased. Pure JVM;
+    ``octet_length`` keeps the byte semantics so non-ASCII words (e.g. a
+    2-char CJK term = 6 bytes) pass exactly as in the reference and in
+    :func:`fallback_low_keywords`."""
     words = F.filter(F.split(F.trim(query_col), r"\s+"),
-                     lambda w: F.length(w) > 3)
+                     lambda w: F.octet_length(w) > 3)
     return F.transform(F.slice(words, 1, 10), F.lower)
+
+
+def fallback_low_keywords(query: str) -> list[str]:
+    """Python twin of :func:`fallback_keywords_expr`'s low-level list —
+    the single definition both per-row fallback sites use."""
+    return [w.lower() for w in (query or "").split()
+            if len(w.encode()) > 3][:10]
 
 
 def extract_json(response: str) -> str | None:
@@ -120,9 +129,7 @@ def extract_dual_keywords(
                     parsed = None
                 if parsed is None:
                     highs.append([])
-                    lows.append([w.lower()
-                                 for w in (q or "").split()
-                                 if len(w.encode()) > 3][:10])
+                    lows.append(fallback_low_keywords(q))
                 else:
                     highs.append(parsed["high_level"])
                     lows.append(parsed["low_level"])
@@ -243,8 +250,7 @@ def dual_retrieve(
     if parsed is None:
         kw = {
             "high_level": [],
-            "low_level": [w.lower() for w in query.split()
-                          if len(w.encode()) > 3][:10],
+            "low_level": fallback_low_keywords(query),
         }
     else:
         kw = parsed

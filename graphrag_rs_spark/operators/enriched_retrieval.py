@@ -210,7 +210,10 @@ def search_by_keywords(enriched: DataFrame, keywords: list[str],
     len(keywords); each provided keyword counts once when ANY chunk
     keyword equals it case-insensitively."""
     if not keywords:
-        return enriched.select("chunk_id").limit(0).withColumn(
+        # same columns as the scored path (all enriched cols + score),
+        # zero rows — so callers selecting metadata columns or unioning
+        # across queries never hit a schema mismatch on this branch
+        return enriched.where(F.lit(False)).withColumn(
             "score", F.lit(0.0))
     kws = F.coalesce(F.col("keywords"), F.array().cast("array<string>"))
     lowered = F.transform(kws, F.lower)

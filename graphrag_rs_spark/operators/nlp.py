@@ -24,24 +24,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 POS_SCHEMA = (
-    "doc_id long, idx int, token string, position int, pos string, "
+    "doc_id string, idx int, token string, position int, pos string, "
     "lemma string"
 )
 NP_SCHEMA = (
-    "doc_id long, phrase string, head_idx int, start int, n_tokens int"
+    "doc_id string, phrase string, head_idx int, start int, n_tokens int"
 )
 DEP_SCHEMA = (
-    "doc_id long, head int, dependent int, relation string, "
+    "doc_id string, head int, dependent int, relation string, "
     "head_token string, dependent_token string"
 )
 LANG_SCHEMA = (
-    "doc_id long, language string, confidence double, alternatives "
+    "doc_id string, language string, confidence double, alternatives "
     "array<string>"
 )
 PROCESS_SCHEMA = (
-    "doc_id long, language string, confidence double, normalized string, "
+    "doc_id string, language string, confidence double, normalized string, "
     "tokens array<string>"
 )
+
+
+def _with_string_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project (id, text) with the id cast to string — the pipeline's
+    doc/chunk ids are strings (chunking.py, enrichment.py, extraction.py
+    all cast the same way); accepting long inputs too keeps ad-hoc
+    numeric-id tables working."""
+    return df.select(F.col(id_col).cast("string").alias(id_col), text_col)
 
 
 def pos_tag_table(
@@ -62,7 +70,7 @@ def pos_tag_table(
                 columns=["doc_id", "idx", "token", "position", "pos", "lemma"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=POS_SCHEMA)
+    return _with_string_id(df, id_col, text_col).mapInPandas(run, schema=POS_SCHEMA)
 
 
 def noun_phrases_table(
@@ -85,7 +93,7 @@ def noun_phrases_table(
                 columns=["doc_id", "phrase", "head_idx", "start", "n_tokens"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=NP_SCHEMA)
+    return _with_string_id(df, id_col, text_col).mapInPandas(run, schema=NP_SCHEMA)
 
 
 def dependencies_table(
@@ -119,7 +127,7 @@ def dependencies_table(
                 ],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=DEP_SCHEMA)
+    return _with_string_id(df, id_col, text_col).mapInPandas(run, schema=DEP_SCHEMA)
 
 
 def detect_languages(
@@ -147,7 +155,7 @@ def detect_languages(
                 columns=["doc_id", "language", "confidence", "alternatives"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=LANG_SCHEMA)
+    return _with_string_id(df, id_col, text_col).mapInPandas(run, schema=LANG_SCHEMA)
 
 
 def process_multilingual(
@@ -173,4 +181,4 @@ def process_multilingual(
                 ],
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=PROCESS_SCHEMA)
+    return _with_string_id(df, id_col, text_col).mapInPandas(run, schema=PROCESS_SCHEMA)

@@ -46,8 +46,10 @@ __all__ = [
 
 
 def _words(col):
-    # split_whitespace: runs of whitespace, no empty tokens (rs:238,246)
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    # split_whitespace over the lowered text (rs:238,246)
+    from graphrag_rs_spark.functions import ws_tokens
+
+    return ws_tokens(F.lower(col))
 
 
 def lexical_entity_scores(

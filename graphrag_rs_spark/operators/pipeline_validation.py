@@ -142,6 +142,7 @@ def validate_document_processing(
     metrics = {
         "coverage_ratio": avg_cov,
         "metadata_ratio": metadata_ratio,
+        "documents_count": float(n_docs),
         "chunks_count": float(n_chunks),
         "avg_chunk_size": (float(c_aggs["chunk_chars"] or 0)
                            / max(n_chunks, 1)),
@@ -254,11 +255,15 @@ def validate_relationship_extraction(
     target_col: str = "obj",
     rel_type_col: str = "pred",
     confidence_col: str = "confidence",
+    n_entities: int | None = None,
 ) -> dict:
     """pipeline_validation.rs:285-388 — orphan detection is two
     anti-joins against the entity-id set instead of the reference's
-    O(R·E) Vec::contains scan."""
-    n_entities = entities.count()
+    O(R·E) Vec::contains scan. Pass ``n_entities`` when the caller has
+    already counted the entity table (validate_kg_pipeline does) to
+    skip a redundant full scan."""
+    if n_entities is None:
+        n_entities = entities.count()
     r = relationships.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(((F.col(confidence_col) < 0) | (F.col(confidence_col) > 1))
@@ -408,22 +413,26 @@ def validate_kg_pipeline(
 ) -> dict:
     """Convenience end-to-end: the four phase validators over the KG
     pipeline's own stage tables, rolled into one report."""
-    phases = [
-        validate_document_processing(
-            documents, chunks,
-            metadata_cols=("chapter", "keywords", "summary")),
-        validate_entity_extraction(chunks, entities, mentions,
-                                   **{k: v for k, v in
-                                      col_overrides.items()
-                                      if k in ("name_col", "type_col",
-                                               "confidence_col")}),
-        validate_relationship_extraction(
-            entities, edges,
-            **{k: v for k, v in col_overrides.items()
-               if k in ("entity_id_col", "source_col", "target_col",
-                        "rel_type_col")}),
-        validate_graph_construction(
-            documents.count(), chunks.count(), entities.count(),
-            edges.count()),
-    ]
-    return pipeline_report(phases)
+    p_doc = validate_document_processing(
+        documents, chunks,
+        metadata_cols=("chapter", "keywords", "summary"))
+    p_ent = validate_entity_extraction(
+        chunks, entities, mentions,
+        **{k: v for k, v in col_overrides.items()
+           if k in ("name_col", "type_col", "confidence_col")})
+    n_entities = int(p_ent["metrics"]["entities_count"])
+    p_rel = validate_relationship_extraction(
+        entities, edges, n_entities=n_entities,
+        **{k: v for k, v in col_overrides.items()
+           if k in ("entity_id_col", "source_col", "target_col",
+                    "rel_type_col")})
+    # the phase validators already aggregated every table once — reuse
+    # their counts instead of re-scanning the four tables (4 extra full
+    # count jobs at the module's target scale)
+    p_graph = validate_graph_construction(
+        int(p_doc["metrics"]["documents_count"]),
+        int(p_doc["metrics"]["chunks_count"]),
+        n_entities,
+        int(p_rel["metrics"]["relationships_count"]),
+    )
+    return pipeline_report([p_doc, p_ent, p_rel, p_graph])

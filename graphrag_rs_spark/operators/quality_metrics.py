@@ -39,8 +39,7 @@ QUALITY_COLS = (
 )
 
 
-def _ws_split(col: Column) -> Column:
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+from graphrag_rs_spark.functions import ws_tokens as _ws_split
 
 
 def _coherence_expr(content: Column) -> Column:

@@ -42,10 +42,7 @@ from graphrag_rs_spark.rules.query_intelligence import (
 # --- Cross-encoder rerank -------------------------------------------------
 
 
-def _ws_tokens(col: Column) -> Column:
-    """``str::split_whitespace`` twin: split on whitespace runs, drop the
-    empty tokens a leading/trailing run leaves behind."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+from graphrag_rs_spark.functions import ws_tokens as _ws_tokens
 
 
 def relevance_expr(query_col: Column, doc_col: Column,

@@ -27,7 +27,11 @@ Semantics ported exactly (html.rs:39-137):
 
 from __future__ import annotations
 
-from graphrag_rs_spark.rules.layout import Heading, Section
+from graphrag_rs_spark.rules.layout import (
+    Heading,
+    Section,
+    sections_from_headings,
+)
 
 _FORMATS = ("html", "htm")
 
@@ -86,19 +90,4 @@ def parse_html_structure(content: str) -> list[Section]:
     repo's shared Section shape (content span = heading.start →
     next-heading.start, as the markdown twin records it)."""
     headings = [h for h, _ in parse_html_headings(content)]
-    sections = [
-        Section(
-            h,
-            headings[i + 1].start if i + 1 < len(headings) else len(content),
-        )
-        for i, h in enumerate(headings)
-    ]
-    stack: list[int] = []
-    for idx, sec in enumerate(sections):
-        while stack and sections[stack[-1]].heading.level >= sec.heading.level:
-            stack.pop()
-        if stack:
-            sec.parent = stack[-1]
-            sections[stack[-1]].children.append(idx)
-        stack.append(idx)
-    return sections
+    return sections_from_headings(headings, len(content))

@@ -65,10 +65,20 @@ def parse_markdown_structure(content: str) -> list[Section]:
                     )
         offset += len(line) + 1
 
+    return sections_from_headings(headings, len(content))
+
+
+def sections_from_headings(
+    headings: list[Heading], content_len: int
+) -> list[Section]:
+    """Section spans + parent/children hierarchy from an ordered heading
+    list — the single definition shared by the markdown, HTML and
+    plaintext layout parsers (each previously carried its own copy of
+    this stack loop, which could drift independently)."""
     sections = [
         Section(
             h,
-            headings[i + 1].start if i + 1 < len(headings) else len(content),
+            headings[i + 1].start if i + 1 < len(headings) else content_len,
         )
         for i, h in enumerate(headings)
     ]

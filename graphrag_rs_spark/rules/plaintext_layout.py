@@ -34,7 +34,11 @@ from __future__ import annotations
 
 import re
 
-from graphrag_rs_spark.rules.layout import Heading, Section
+from graphrag_rs_spark.rules.layout import (
+    Heading,
+    Section,
+    sections_from_headings,
+)
 
 _DECIMAL_RE = re.compile(r"^(\d+(?:\.\d+)*)\s*[.:]?\s")
 _ROMAN_RE = re.compile(r"^([IVXLCDM]+)[.:]?\s")
@@ -258,19 +262,4 @@ def parse_plaintext_structure(content: str) -> list[Section]:
 
         i += 1
 
-    sections = [
-        Section(
-            h,
-            headings[j + 1].start if j + 1 < len(headings) else len(content),
-        )
-        for j, h in enumerate(headings)
-    ]
-    stack: list[int] = []
-    for idx, sec in enumerate(sections):
-        while stack and sections[stack[-1]].heading.level >= sec.heading.level:
-            stack.pop()
-        if stack:
-            sec.parent = stack[-1]
-            sections[stack[-1]].children.append(idx)
-        stack.append(idx)
-    return sections
+    return sections_from_headings(headings, len(content))

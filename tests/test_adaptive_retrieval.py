@@ -230,3 +230,54 @@ class TestSparkOperators:
         want = [(c.id, c.score) for c in cross_strategy_fusion(q1, 3)]
         assert got["q1"] == want
         assert got["q2"] == [("x", 0.99)]
+
+    def test_fuse_adaptive_multi_entity_and_null_arrays(self, spark):
+        # entities arrays arrive in applyInPandas as numpy arrays: a
+        # 2+ element array made `r[col] or ()` raise the ambiguous-truth
+        # ValueError; NULL arrays must degrade to () like the twin
+        from graphrag_rs_spark.operators.adaptive_retrieval import (
+            fuse_adaptive,
+        )
+
+        rows = [
+            ("q1", "a", 0.9, ["E1", "E2", "E3"], 1),
+            ("q1", "b", 0.8, None, 2),
+            ("q1", "c", 0.7, ["E1", "E2"], 3),
+            ("q1", "d", 0.6, [], 4),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "query string, id string, score double, "
+            "entities array<string>, _ord long")
+        got = sorted(
+            (r["final_rank"], r["id"], tuple(r["entities"]))
+            for r in fuse_adaptive(df, max_results=4).collect()
+        )
+        twin = [
+            Candidate(r[1], r[2], tuple(r[3] or ())) for r in rows
+        ]
+        want = sorted(
+            (i + 1, c.id, tuple(c.entities))
+            for i, c in enumerate(cross_strategy_fusion(twin, 4))
+        )
+        assert got == want
+        assert got[0][2] == ("E1", "E2", "E3")
+
+    def test_analyze_queries_blank_query_matches_twin(self, spark):
+        # "" / whitespace queries: Python "".split() == [] so the twin
+        # finds no entities and types the query factual; the JVM path
+        # must not tokenize [""] (contains("") matches every name)
+        from graphrag_rs_spark.operators.adaptive_retrieval import (
+            analyze_queries,
+        )
+
+        q = spark.createDataFrame([("",), ("   ",)], "query string")
+        ents = spark.createDataFrame([(n,) for n in ENTITY_NAMES],
+                                     "name string")
+        got = {r["query"]: r for r in analyze_queries(q, ents).collect()}
+        for query in ("", "   "):
+            want = analyze_query(query, ENTITY_NAMES)
+            assert want["key_entities"] == []
+            assert list(got[query]["key_entities"]) == []
+            assert got[query]["query_type"] == want["query_type"] == "factual"
+            assert got[query]["complexity_score"] == pytest.approx(0.0)

@@ -185,6 +185,27 @@ class TestSparkOperators:
         assert list(got[q]["high_level"]) == []
         assert list(got["a an to of"]["low_level"]) == []
 
+    def test_fallback_keyword_byte_length_both_paths(self, spark):
+        # keyword_extraction.rs:174-180 filters on BYTE length (Rust
+        # str::len): a 2-char CJK word (6 bytes) must pass on both the
+        # JVM expression path and the per-row Python fallback — the two
+        # paths previously disagreed (chars vs bytes)
+        from graphrag_rs_spark.operators.dual_retrieval import (
+            extract_dual_keywords,
+            fallback_low_keywords,
+        )
+
+        q = "日本 ab cd 東京タワー data"
+        df = spark.createDataFrame([(q,)], "query string")
+        jvm = list(
+            extract_dual_keywords(df).collect()[0]["low_level"]
+        )
+        assert jvm == fallback_low_keywords(q) == ["日本", "東京タワー", "data"]
+        # and the llm_fn parse-failure fallback agrees too
+        bad = {r["query"]: r for r in extract_dual_keywords(
+            df, llm_fn=lambda p: "not json").collect()}
+        assert list(bad[q]["low_level"]) == jvm
+
     def test_llm_path_parses_and_falls_back(self, spark):
         from graphrag_rs_spark.operators.dual_retrieval import (
             extract_dual_keywords,

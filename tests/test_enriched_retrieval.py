@@ -188,3 +188,18 @@ class TestSparkOperators:
         assert scores["c2"] == pytest.approx(1 / 3)   # cooking only
         assert scores["c4"] == pytest.approx(1 / 3)
         assert "c3" not in scores
+
+    def test_search_by_keywords_empty_keywords_keeps_schema(self, spark):
+        # the empty-keywords branch must return the SAME columns as the
+        # scored path (zero rows), so .select of metadata columns and
+        # cross-query unions work on either branch
+        from graphrag_rs_spark.operators.enriched_retrieval import (
+            search_by_keywords,
+        )
+
+        e = self._enriched(spark)
+        scored = search_by_keywords(e, ["quantum"], top_k=5)
+        empty = search_by_keywords(e, [], top_k=5)
+        assert empty.columns == scored.columns
+        assert empty.count() == 0
+        assert scored.unionByName(empty).count() == scored.count()

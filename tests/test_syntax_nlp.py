@@ -222,12 +222,13 @@ def test_pos_tag_table_operator(spark):
         "doc_id long, text string",
     )
     rows = pos_tag_table(docs).collect()
+    # numeric input ids are cast to the pipeline's string id convention
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert len(by_doc[1]) == 5
-    assert 2 not in by_doc
-    toks = sorted(by_doc[1], key=lambda r: r["idx"])
+    assert len(by_doc["1"]) == 5
+    assert "2" not in by_doc
+    toks = sorted(by_doc["1"], key=lambda r: r["idx"])
     assert [t["pos"] for t in toks] == ["DT", "NN", "VBD", "DT", "NN"]
     assert toks[2]["lemma"] == "chas"  # blind -ed strip (quirk)
 
@@ -272,8 +273,26 @@ def test_detect_languages_operator(spark):
         "doc_id long, text string",
     )
     langs = {r["doc_id"]: r["language"] for r in detect_languages(docs).collect()}
-    assert langs == {1: "english", 2: "spanish", 3: "chinese"}
+    assert langs == {"1": "english", "2": "spanish", "3": "chinese"}
 
     proc = {r["doc_id"]: r for r in process_multilingual(docs).collect()}
-    assert proc[3]["tokens"] == list("这是中文文本")
-    assert proc[1]["normalized"] == "This is English text"
+    assert proc["3"]["tokens"] == list("这是中文文本")
+    assert proc["1"]["normalized"] == "This is English text"
+
+
+def test_nlp_operators_accept_string_doc_ids(spark):
+    # the pipeline's chunk/document tables carry STRING ids ("doc_0"):
+    # the nlp operators must consume them directly (doc_id long schemas
+    # previously made Arrow serialization throw on string ids)
+    from graphrag_rs_spark.operators.nlp import detect_languages, pos_tag_table
+
+    docs = spark.createDataFrame(
+        [("doc_0", "The cat sat"),
+         ("doc_1", "esta es una prueba del idioma español")],
+        "doc_id string, text string",
+    )
+    pos = pos_tag_table(docs).collect()
+    assert {r["doc_id"] for r in pos} == {"doc_0", "doc_1"}
+    langs = {r["doc_id"]: r["language"]
+             for r in detect_languages(docs).collect()}
+    assert langs["doc_1"] == "spanish"
