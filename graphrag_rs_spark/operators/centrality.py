@@ -81,6 +81,12 @@ def _dijkstra(
             continue
         done.add(u)
         for v, w in adj.get(u, ()):
+            if v in done:
+                # finalized nodes must never be relaxed — without this
+                # guard the tie-break arm can rewire prev of finalized
+                # nodes, and zero-weight edges then form prev cycles
+                # (a<->b) that make _path_nodes walk forever
+                continue
             alt = d + w
             if alt < dist.get(v, float("inf")) or (
                 alt == dist.get(v, float("inf")) and prev.get(v, "￿") > u
@@ -98,7 +104,12 @@ def _path_nodes(prev: dict[str, str], start: str, end: str) -> list[str] | None:
         return None
     nodes = [end]
     cur = end
-    while cur in prev:
+    # prev is a forest rooted at start (nodes only point at finalized
+    # predecessors), so the walk is bounded by |prev|; the explicit
+    # bound turns any future invariant break into "no path", not a hang
+    for _ in range(len(prev) + 1):
+        if cur not in prev:
+            break
         cur = prev[cur]
         nodes.append(cur)
     if nodes[-1] != start:

@@ -123,9 +123,15 @@ def minhash_lsh_dedup(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # cache: the signature UDF output feeds the banding pass AND both
-    # sig re-attach joins (Spark's LRU evicts it once downstream finishes)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, seed).cache()
+    # eager localCheckpoint: the signature UDF output feeds the banding
+    # pass AND both sig re-attach joins. A .cache() here would pin one
+    # plan in the CacheManager per call for the session's lifetime
+    # (iterative/streaming callers leak); checkpointed RDDs are released
+    # by the ContextCleaner once the result goes unreferenced — the same
+    # pattern ivf_knn uses
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle, seed
+    ).localCheckpoint(eager=True)
 
     banded = sigs.select(
         F.col(id_col),
@@ -235,7 +241,13 @@ def simhash_signatures(
                 out.append((doc_id, val))
             yield pd.DataFrame(out, columns=[pdf.columns[0], "simhash"])
 
-    return toks.mapInPandas(simhash_batches, schema=f"{id_col} long, simhash long")
+    # id column keeps the INPUT's type (string doc ids work like they do
+    # in every sibling dedup operator; a hardcoded long schema made Arrow
+    # conversion throw on them)
+    id_type = dict(df.dtypes)[id_col]
+    return toks.mapInPandas(
+        simhash_batches, schema=f"{id_col} {id_type}, simhash long"
+    )
 
 
 def ngram_jaccard_pairs(

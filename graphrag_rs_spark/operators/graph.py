@@ -247,6 +247,14 @@ def connected_components(
         return _two_level_cc(
             edges.select(F.col(src), F.col(dst)).distinct(), src, dst
         )
+    elif strategy != "distributed":
+        # a typo like "two-level" must not silently run the heaviest
+        # path (O(log² n) star-contraction shuffle rounds) instead of
+        # the intended sub-second fast path
+        raise ValueError(
+            f"unknown strategy {strategy!r}: expected "
+            "'auto' | 'local' | 'two_level' | 'distributed'"
+        )
     spark = edges.sparkSession
     ids = (
         edges.select(F.col(src).alias("id"))

@@ -91,8 +91,12 @@ def bm25_scores(
     ).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if n_docs == 0:
+        # keep the INPUT's id type (a hardcoded long diverged from the
+        # string-id schema every non-empty call returns, breaking
+        # downstream unions/joins on the empty-corpus edge)
+        id_type = dict(docs.dtypes)[id_col]
         return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double"
+            [], f"{id_col} {id_type}, score double"
         )
 
     qterms = list(dict.fromkeys(bm25_tokenize(query)))
@@ -172,15 +176,16 @@ def hybrid_search(
             F.array(*[F.lit(x) for x in qvec]),
         ).alias("cosine"),
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    # per-partition heaps), NOT a row_number over an unpartitioned
+    # Window, which would funnel the whole scored corpus through one
+    # task; the rank window then runs over only k_each rows
+    topk = scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k_each)
     w_knn = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    knn_ranked = (
-        scored.withColumn("rank", F.row_number().over(w_knn))
-        .where(F.col("rank") <= k_each)
-        .select(
-            F.lit("vector").alias("list_id"),
-            F.col(id_col).alias("item_id"),
-            "rank",
-        )
+    knn_ranked = topk.select(
+        F.lit("vector").alias("list_id"),
+        F.col(id_col).alias("item_id"),
+        F.row_number().over(w_knn).alias("rank"),
     )
 
     fused = rrf_fuse(bm_ranked.unionByName(knn_ranked), k=rrf_k)

@@ -195,10 +195,14 @@ def ivf_knn(
     the right trade for latency-sensitive small fixtures where recall is
     driven by ``n_probe``, not centroid quality."""
     vectors = vectors.select(id_col, vec_col).cache()
-    # deterministic centroid init: first n_centroids by hash order
+    # deterministic centroid init: first n_centroids by hash order.
+    # xxhash64 takes the id and the seed as SEPARATE arguments — an
+    # arithmetic `id + seed` casts string ids to NULL (or throws under
+    # ANSI), hashing every row to the same constant and degrading the
+    # "deterministic" init to arbitrary partition order
     sample = (
         vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )

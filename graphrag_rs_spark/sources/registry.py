@@ -37,20 +37,26 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) 
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
     if fmt in ("csv", "tsv"):
-        sep = "\t" if fmt == "tsv" else options.pop("sep", ",")
-        return (
-            spark.read.options(header=True, sep=sep, inferSchema=True, **options)
-            .csv(path)
-        )
+        # defaults merged UNDER caller options (dict merge, not duplicate
+        # kwargs) so header=False / inferSchema=False / a custom sep are
+        # legal overrides instead of TypeErrors
+        opts = {
+            "header": True,
+            "inferSchema": True,
+            "sep": "\t" if fmt == "tsv" else ",",
+            **options,
+        }
+        return spark.read.options(**opts).csv(path)
     if fmt in ("json", "jsonl"):
         # JSONL is Spark's native JSON layout; PERMISSIVE mode gives the
         # reference's max_errors tolerance (data_import.rs:604-612) with
         # corrupt rows quarantined instead of counted
-        return (
-            spark.read.options(
-                mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record", **options
-            ).json(path)
-        )
+        opts = {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+            **options,
+        }
+        return spark.read.options(**opts).json(path)
     if fmt == "text":
         return spark.read.options(**options).text(path)
     raise ValueError(f"unknown format: {fmt!r}")

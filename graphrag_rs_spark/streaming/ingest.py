@@ -115,9 +115,14 @@ class IncrementalGraphSink:
         workspace_dir: str,
         config: PipelineConfig | None = None,
     ) -> None:
-        self.workspace_dir = workspace_dir
+        # absolutize: Spark resolves a RELATIVE parquet write path
+        # against the JVM's working directory, while the Python-side
+        # mkdir/symlink/CURRENT bookkeeping would resolve it against the
+        # (possibly different, possibly changing) Python cwd — the two
+        # halves of the workspace would land in different places
+        self.workspace_dir = os.path.abspath(workspace_dir)
         self.config = config or PipelineConfig()
-        os.makedirs(workspace_dir, exist_ok=True)
+        os.makedirs(self.workspace_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.workspace_dir, name)
@@ -163,7 +168,11 @@ class IncrementalGraphSink:
             tmp_link = self._path(f"_lnk_{name}")
             if os.path.lexists(tmp_link):
                 os.remove(tmp_link)
-            os.symlink(os.path.join(vdir, name), tmp_link)
+            # target is RELATIVE to the link's own directory: a target
+            # joined from a relative workspace_dir would resolve to
+            # workspace/workspace/_vN/... (dangling); relative targets
+            # also survive moving the workspace
+            os.symlink(os.path.join(f"_v{batch_id}", name), tmp_link)
             os.replace(tmp_link, link)
 
         if prev_bid is not None and prev_bid != batch_id:
@@ -181,8 +190,23 @@ class IncrementalGraphSink:
         from graphrag_rs_spark.operators.materialize import materialize_graph
 
         applied = self._current_batch_id()
-        if applied is not None and batch_id <= applied:
+        if applied is not None and batch_id == applied:
             return  # at-least-once replay of an already-published batch
+        if applied is not None and batch_id < applied:
+            # Under ONE checkpoint lineage, Structured Streaming only
+            # re-delivers the last possibly-uncommitted batch (== applied).
+            # A SMALLER id means the stream's checkpoint was deleted or
+            # repointed while the workspace kept its state — silently
+            # skipping would drop genuinely new data that now rides in
+            # low-numbered batches, and applying would double-merge the
+            # non-idempotent roll-ups (mention_count sums). Refuse loudly.
+            raise RuntimeError(
+                f"batch {batch_id} is behind the workspace's published "
+                f"batch {applied}: the streaming checkpoint restarted "
+                "numbering against an existing workspace. Either restore "
+                "the original checkpoint_dir, or start a fresh workspace "
+                "dir for the new checkpoint lineage."
+            )
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession

@@ -103,6 +103,23 @@ def test_csv_entities_with_column_mappings(spark, tmp_path):
     }
 
 
+def test_csv_reader_options_are_overridable(spark, tmp_path):
+    # caller options must MERGE over the defaults (header/inferSchema/
+    # sep), not collide as duplicate kwargs
+    p = tmp_path / "raw.csv"
+    p.write_text("7;x\n8;y\n")
+    df = read_table(spark, str(p), "csv", header=False, sep=";",
+                    inferSchema=False)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("7", "x"), ("8", "y")]  # no header row consumed
+
+    t = tmp_path / "raw.tsv"
+    t.write_text("a|b\n1|2\n")
+    tdf = read_table(spark, str(t), "tsv", sep="|")  # override tsv's \t
+    assert tdf.columns == ["a", "b"]
+    assert tdf.count() == 1
+
+
 def test_jsonl_permissive_ingest(spark, tmp_path):
     p = tmp_path / "docs.jsonl"
     p.write_text('{"id": 1, "text": "ok"}\n{bad json line\n{"id": 2, "text": "ok2"}\n')

@@ -44,6 +44,14 @@ def test_connected_components_strategies_match_truth(spark, strategy):
     assert got == truth
 
 
+def test_connected_components_rejects_unknown_strategy(spark):
+    # a typo like "two-level" must raise, not silently run the heaviest
+    # distributed star-contraction path
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        connected_components(df, strategy="two-level")
+
+
 def test_connected_components_auto_picks_local_for_small(spark):
     edges, truth = _random_component_graph(seed=11)
     df = spark.createDataFrame(edges, "src string, dst string")

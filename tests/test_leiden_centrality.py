@@ -86,6 +86,21 @@ def test_shortest_path_weighted(spark):
     ]
 
 
+def test_shortest_path_zero_weight_edges_terminate(spark):
+    # zero-weight triangle s-a, s-b, a-b: the tie-break arm used to relax
+    # FINALIZED nodes, rewiring prev into an a<->b cycle that made the
+    # path walk spin forever; the done-guard keeps prev a forest
+    edges = [("s", "a", 0.0), ("s", "b", 0.0), ("a", "b", 0.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    rows = shortest_path(df, "s", "b", weight="w").collect()
+    assert rows[0]["id"] == "s" and rows[-1]["id"] == "b"
+    assert rows[-1]["distance"] == 0.0
+    assert len(rows) <= 3
+    # betweenness on the same graph must also terminate
+    got = betweenness_centrality(df, weight="w").collect()
+    assert len(got) == 3
+
+
 def test_shortest_path_unreachable_is_empty(spark):
     df = spark.createDataFrame(
         [("a", "b"), ("c", "d")], "src string, dst string"

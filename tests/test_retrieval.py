@@ -62,6 +62,21 @@ def test_bm25_matches_reference_formula(spark):
     assert solo[2] > solo[1]
 
 
+def test_bm25_empty_corpus_keeps_id_type(spark):
+    # the empty-corpus early return must carry the INPUT's id type — a
+    # hardcoded long diverged from the string-id schema of non-empty
+    # calls, breaking downstream unions on the edge case
+    df = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_scores(df, "anything")
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    full = spark.createDataFrame(
+        [("d1", "spark join")], "doc_id string, text string"
+    )
+    # schema-compatible with a non-empty call's result
+    assert bm25_scores(full, "spark").unionByName(out).count() == 1
+
+
 def test_bm25_tokenizer_rules():
     assert bm25_tokenize("The QUICK-brown fox!! 42x") == ["quickbrown", "fox", "42x"]
     assert bm25_tokenize("a an it we") == []  # stopwords

@@ -94,3 +94,30 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert sink._current_batch_id() == 1
     merged = spark.read.parquet(str(tmp_path / "ws" / "entities_raw"))
     assert merged.count() >= len(first)
+
+    # a REGRESSED batch id means the stream checkpoint restarted against
+    # this workspace: silently skipping would drop new data, applying
+    # would double-merge — the sink must refuse loudly instead
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink.process_batch(batch, batch_id=0)
+
+
+def test_stable_symlinks_survive_relative_workspace_dir(spark, tmp_path):
+    """The published top-level table paths are symlinks into the version
+    dir; their targets must be RELATIVE so a relative workspace_dir (or a
+    moved workspace) does not leave them dangling."""
+    from graphrag_rs_spark.streaming.ingest import IncrementalGraphSink
+
+    cfg = PipelineConfig()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sink = IncrementalGraphSink("ws_rel", cfg)  # RELATIVE path
+        sink.process_batch(transcripts_df(spark, 4, seed=3), batch_id=0)
+        link = tmp_path / "ws_rel" / "entities"
+        assert os.path.islink(link)
+        assert not os.path.isabs(os.readlink(link))
+        assert os.path.exists(link)  # resolves (would dangle if doubled)
+        assert spark.read.parquet(str(link)).count() > 0
+    finally:
+        os.chdir(cwd)

@@ -173,6 +173,48 @@ def test_ivf_knn_self_hit(vectors):
         assert hits[0] == q
 
 
+def test_ivf_knn_string_ids_deterministic(spark, vectors):
+    # the centroid init hashes the id and seed as separate xxhash64 args:
+    # the old arithmetic `id + seed` cast string ids to NULL, hashing
+    # every row to one constant (arbitrary, partition-order centroids)
+    df, rows = vectors
+    sdf = df.select(
+        F.concat(F.lit("doc_"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    qs = sdf.where(F.col("vec_id").isin("doc_0", "doc_1")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got1 = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_knn(sdf, qs, k=5, n_centroids=8, n_probe=4).collect()
+    )
+    got2 = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_knn(sdf, qs, k=5, n_centroids=8, n_probe=4).collect()
+    )
+    assert got1 == got2  # same seed -> same centroids -> same result
+    by_q = {}
+    for q, _, hit in got1:
+        by_q.setdefault(q, []).append(hit)
+    for q, hits in by_q.items():
+        assert hits[0] == q
+
+
+def test_simhash_accepts_string_doc_ids(spark):
+    # the signature schema derives the id type from the input (was
+    # hardcoded long, which threw on the string ids every sibling dedup
+    # operator accepts)
+    from graphrag_rs_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [("doc_a", "alpha beta gamma"), ("doc_b", "alpha beta gamma")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert set(got) == {"doc_a", "doc_b"}
+    assert got["doc_a"] == got["doc_b"]  # identical text, identical hash
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
