@@ -192,6 +192,94 @@ def hybrid_search(
     return fused.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(top_n)
 
 
+def _local_pagerank(
+    e: DataFrame,
+    damping: float,
+    max_iter: int,
+    tol: float,
+    personalization: DataFrame | None,
+    check_every: int,
+) -> DataFrame:
+    """Single-process power iteration over a collected (bounded) edge list.
+
+    Runs the IDENTICAL update rule and convergence schedule as the
+    distributed path in :func:`pagerank` — same teleport construction
+    (uniform / seed-set / weighted, including the reference's
+    seeds-counted-before-graph-intersection quirk), same dangling-mass
+    fold through the teleport vector, same every-``check_every`` L1 delta
+    check — so the two paths agree up to float-summation order.
+    """
+    from collections import defaultdict
+
+    spark = e.sparkSession
+    rows = e.collect()
+    if not rows:
+        return spark.createDataFrame([], "id string, rank double")
+    out_nbrs: dict = defaultdict(list)
+    node_set: set = set()
+    for u, v in rows:
+        out_nbrs[u].append(v)
+        node_set.add(u)
+        node_set.add(v)
+    nodes = sorted(node_set, key=lambda x: (x is None, x))  # null-safe order
+    n = len(nodes)
+    outd = {u: len(vs) for u, vs in out_nbrs.items()}
+    dangling = [i for i in nodes if i not in outd]
+
+    if personalization is not None:
+        if "weight" in personalization.columns:
+            w = {
+                r["id"]: float(r["weight"] or 0.0)
+                for r in personalization.select("id", "weight").collect()
+                if r["id"] in node_set
+            }
+            total = sum(w.values())
+            if total > 0:
+                tp = {i: w.get(i, 0.0) / total for i in nodes}
+            else:
+                tp = {i: 1.0 / n for i in nodes}
+        else:
+            seed_rows = [r[0] for r in personalization.select("id").collect()]
+            # the distributed path counts ALL personalization rows (before
+            # intersecting with the graph) for the 1/n_seeds mass
+            share = 1.0 / max(len(seed_rows), 1)
+            seed_set = set(seed_rows)
+            tp = {i: (share if i in seed_set else 0.0) for i in nodes}
+    else:
+        tp = {i: 1.0 / n for i in nodes}
+
+    ranks = dict(tp)
+    for it in range(max_iter):
+        inflow: dict = defaultdict(float)
+        for u, vs in out_nbrs.items():
+            c = ranks[u] / outd[u]
+            for v in vs:
+                inflow[v] += c
+        dmass = sum(ranks[i] for i in dangling)
+        new_ranks = {
+            i: (1.0 - damping) * tp[i]
+            + damping * (inflow.get(i, 0.0) + dmass * tp[i])
+            for i in nodes
+        }
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            delta = sum(abs(new_ranks[i] - ranks[i]) for i in nodes)
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = e.schema["u"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("rank", DoubleType())]
+    )
+    return spark.createDataFrame(
+        [(i, float(ranks[i])) for i in nodes], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj",
@@ -201,6 +289,8 @@ def pagerank(
     tol: float = 1.0e-6,
     personalization: DataFrame | None = None,
     check_every: int = 5,
+    strategy: str = "auto",
+    local_threshold: int = 50_000,
 ) -> DataFrame:
     """(Personalized) PageRank by power iteration (graph/pagerank.rs:182-300
     semantics: damping 0.85, tol 1e-6, uniform-or-seeded teleport, dangling
@@ -212,9 +302,30 @@ def pagerank(
     is checked only every ``check_every`` iterations — per-job scheduling
     latency, not compute, dominates iterative graph algorithms on all but
     the largest graphs.
+
+    ``strategy`` (same pattern as :func:`~graphrag_rs_spark.operators.graph.
+    connected_components`): ``auto`` runs a single-task in-memory power
+    iteration when the distinct edge list is at most ``local_threshold``
+    rows (30 iterations on a toy graph otherwise cost 30 jobs of pure
+    scheduling latency — the bounded collect mirrors CC's local path), and
+    the iterative-DataFrame path above it; ``local`` / ``distributed``
+    force a path. Both paths run the identical update (same teleport,
+    dangling fold, and every-``check_every`` convergence schedule), so
+    they agree to float-sum reordering (~1e-15 at these sizes).
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if strategy == "local" or (
+        strategy == "auto" and e.count() <= local_threshold
+    ):
+        return _local_pagerank(
+            e, damping, max_iter, tol, personalization, check_every
+        )
+    if strategy not in ("auto", "distributed"):
+        raise ValueError(
+            f"unknown pagerank strategy {strategy!r}: "
+            "'auto' | 'local' | 'distributed'"
+        )
     nodes = e.select(F.col("u").alias("id")).union(
         e.select(F.col("v").alias("id"))
     ).distinct().localCheckpoint(eager=True)

@@ -125,6 +125,52 @@ def test_pagerank_personalized_teleports_to_seed(spark):
     assert ranks["c"] < 1e-6 and ranks["d"] < 1e-6
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """The size-gated local path must agree with the iterative-DataFrame
+    path on every teleport flavor (uniform, seed set, weighted reset) —
+    same update rule and convergence schedule, so agreement to 1e-9 after
+    float-sum reordering. 'd' is dangling (no out-edges) to exercise the
+    dangling-mass fold on both paths."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("a",), ("zz",)], "id string")
+    weighted = spark.createDataFrame(
+        [("a", 3.0), ("c", 1.0)], "id string, weight double"
+    )
+    for pers in (None, seeds, weighted):
+        local = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, personalization=pers, max_iter=17, strategy="local"
+            ).collect()
+        }
+        dist = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, personalization=pers, max_iter=17, strategy="distributed"
+            ).collect()
+        }
+        assert set(local) == set(dist)
+        for k in local:
+            assert local[k] == pytest.approx(dist[k], abs=1e-9), (pers, k)
+
+
+def test_pagerank_auto_gates_on_edge_count(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    # 2 edges > threshold 1 → distributed; result identical either way
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, max_iter=10, local_threshold=1).collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError, match="strategy"):
+        pagerank(edges, strategy="bogus")
+
+
 def test_keywords_tf_top_k(spark):
     df = spark.createDataFrame(
         [(1, "graph graph graph spark spark node the with from about")],
