@@ -5,6 +5,7 @@
 * :func:`simhash_signatures` — 64-bit SimHash over token hashes
 * :func:`ngram_jaccard_pairs`— word n-gram Jaccard over LSH candidates
 * :func:`embedding_near_dup` — cosine near-duplicate pairs over embeddings
+* :func:`near_dup_clusters`  — pairs → transitive clusters + canonical pick
 
 Design: signatures are computed with BUILT-IN functions wherever possible
 (xxhash64 over shingles via higher-order array functions — JVM-side); only
@@ -321,4 +322,91 @@ def embedding_near_dup(
     cos = cosine_similarity_col(F.col("v1"), F.col("v2"))
     return pairs.select("id1", "id2", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min_id",
+) -> DataFrame:
+    """Turn near-duplicate PAIRS into clusters with one canonical survivor
+    — the materialization a training-data dedup pipeline actually filters
+    on (``WHERE is_canonical``).
+
+    ``pairs(id1, id2)`` is the output of any sibling pair generator
+    (:func:`minhash_lsh_dedup`, :func:`ngram_jaccard_pairs`,
+    :func:`embedding_near_dup`, a SimHash distance join). Clusters are the
+    connected components of the pair graph (transitive closure — A≈B and
+    B≈C dedupe together even when A,C were never paired), computed by the
+    size-gated :func:`~graphrag_rs_spark.operators.graph.
+    connected_components` (local / two-level / large-star–small-star), so
+    the composition inherits its scale path.
+
+    Returns ``(doc_id, cluster_id, is_canonical)``:
+
+    * ``cluster_id`` — the minimum string member id (the CC representative).
+    * ``keep="min_id"`` — the representative is canonical (pure JVM, no
+      extra shuffle beyond CC).
+    * ``keep="longest"`` — the longest ``text_col`` in the cluster wins,
+      ties to the smaller id (requires ``docs``); one window over
+      cluster_id — partition sizes are bounded by cluster membership, not
+      corpus size.
+    * with ``docs`` provided, documents in no pair come out as their own
+      singleton cluster (canonical); without ``docs``, only paired ids
+      appear and ids are returned as strings (CC's id domain).
+    """
+    from pyspark.sql import Window
+
+    from graphrag_rs_spark.operators.graph import connected_components
+
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}: 'min_id' | 'longest'")
+    if keep == "longest" and docs is None:
+        raise ValueError("keep='longest' requires the docs DataFrame")
+
+    edges = pairs.select(
+        F.col("id1").cast("string").alias("src"),
+        F.col("id2").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)  # (id string, component string)
+
+    if docs is None:
+        out = cc.select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        return out
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(id_col).cast("string").alias("_sid"),
+        *([F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len")]
+          if keep == "longest" else []),
+    )
+    assigned = (
+        base.join(cc, base["_sid"] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            "_sid",
+            *(["_len"] if keep == "longest" else []),
+            F.coalesce(F.col("component"), F.col("_sid")).alias("cluster_id"),
+        )
+    )
+    if keep == "min_id":
+        return assigned.select(
+            id_col,
+            "cluster_id",
+            (F.col("_sid") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("_sid")
+    )
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
     )

@@ -11,6 +11,7 @@ from graphrag_rs_spark.operators.dedup import (
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_dedup,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -343,3 +344,76 @@ def test_change_log(spark):
     new = spark.createDataFrame([("b",), ("c",)], "id string")
     got = {(r["op"], r["id"]) for r in change_log(old, new, ["id"]).collect()}
     assert got == {("added", "c"), ("removed", "a")}
+
+
+def test_near_dup_clusters_transitive_min_id(spark):
+    """A~B and B~C cluster together even though A,C were never paired;
+    representative (min id) is canonical; singleton doc D survives as its
+    own canonical cluster."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id1 string, id2 string"
+    )
+    docs = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("c", "t"), ("x", "t"), ("y", "t"), ("d", "t")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in near_dup_clusters(pairs, docs).collect()}
+    assert rows["a"]["cluster_id"] == rows["b"]["cluster_id"] == rows["c"]["cluster_id"] == "a"
+    assert rows["x"]["cluster_id"] == rows["y"]["cluster_id"] == "x"
+    assert rows["d"]["cluster_id"] == "d" and rows["d"]["is_canonical"]
+    canon = {k for k, r in rows.items() if r["is_canonical"]}
+    assert canon == {"a", "x", "d"}
+
+
+def test_near_dup_clusters_keep_longest(spark):
+    pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+    docs = spark.createDataFrame(
+        [("a", "short"), ("b", "much longer text wins")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r["is_canonical"]
+        for r in near_dup_clusters(pairs, docs, keep="longest").collect()
+    }
+    assert rows == {"a": False, "b": True}
+    with pytest.raises(ValueError, match="longest"):
+        near_dup_clusters(pairs, keep="longest")
+    with pytest.raises(ValueError, match="keep"):
+        near_dup_clusters(pairs, docs, keep="bogus")
+
+
+def test_near_dup_clusters_int_ids_and_pairs_only(spark):
+    """Integer doc ids round-trip (output keeps the input type when docs
+    are provided); pairs-only mode returns the CC string domain."""
+    pairs = spark.createDataFrame([(2, 10)], "id1 long, id2 long")
+    docs = spark.createDataFrame(
+        [(2, "t"), (10, "t"), (7, "t")], "doc_id long, text string"
+    )
+    out = near_dup_clusters(pairs, docs)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # string-domain representative: min STRING id of {"2","10"} is "10"
+    assert rows[2]["cluster_id"] == rows[10]["cluster_id"] == "10"
+    assert rows[10]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[7]["cluster_id"] == "7" and rows[7]["is_canonical"]
+    only_pairs = {r["doc_id"] for r in near_dup_clusters(pairs).collect()}
+    assert only_pairs == {"2", "10"}
+
+
+def test_near_dup_clusters_composes_with_lsh(docs):
+    """End-to-end: MinHash-LSH pairs from the shared fixture feed the
+    cluster materialization; every pair's two sides land in one cluster
+    with exactly one canonical member."""
+    pairs = minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+    clustered = near_dup_clusters(pairs, docs)
+    got_pairs = pairs.collect()
+    assert got_pairs, "fixture should produce at least one near-dup pair"
+    cl = {r["doc_id"]: r["cluster_id"] for r in clustered.collect()}
+    for p in got_pairs:
+        assert cl[p["id1"]] == cl[p["id2"]]
+    canon_per_cluster = (
+        clustered.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in canon_per_cluster)
