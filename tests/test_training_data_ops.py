@@ -12,6 +12,7 @@ from graphrag_rs_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     near_dup_clusters,
+    simhash_near_dup,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -417,3 +418,55 @@ def test_near_dup_clusters_composes_with_lsh(docs):
         .collect()
     )
     assert all(r["n"] == 1 for r in canon_per_cluster)
+
+
+def test_simhash_near_dup_exhaustive_vs_bruteforce(spark):
+    """Banded hamming join vs a brute-force popcount filter over random
+    signatures: the pigeonhole construction guarantees 100% recall, the
+    exact XOR filter guarantees 100% precision — the outputs must be
+    IDENTICAL, including the hamming values."""
+    import random
+
+    rng = random.Random(123)
+    sigs = []
+    base = rng.getrandbits(63)
+    for i in range(30):
+        v = base if i < 10 else rng.getrandbits(63)
+        # flip a random number of bits (0..8) so distances straddle the cap
+        for _ in range(rng.randrange(0, 9)):
+            v ^= 1 << rng.randrange(64)
+        if v >= 2**63:
+            v -= 2**64
+        sigs.append((f"d{i:02d}", v))
+    sig_df = spark.createDataFrame(sigs, "doc_id string, simhash long")
+
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in simhash_near_dup(
+            None, id_col="doc_id", max_hamming=3, signatures=sig_df
+        ).collect()
+    }
+    want = {}
+    for i, (ida, va) in enumerate(sigs):
+        for idb, vb in sigs[i + 1:]:
+            h = bin((va ^ vb) & (2**64 - 1)).count("1")
+            if h <= 3:
+                key = (ida, idb) if ida < idb else (idb, ida)
+                want[key] = h
+    assert got == want and want  # non-trivial fixture
+
+
+def test_simhash_near_dup_text_path(docs):
+    """End-to-end over text: the whitespace/case copy pair (1,2) has
+    hamming 0; the one-word-off near-dup (1,3) surfaces at a wider cap."""
+    tight = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in simhash_near_dup(docs, max_hamming=0).collect()
+    }
+    assert tight == {(1, 2): 0}
+    wide = {
+        (r["id1"], r["id2"]) for r in simhash_near_dup(docs, max_hamming=16).collect()
+    }
+    assert (1, 3) in wide and (1, 2) in wide
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup(docs, max_hamming=64)
