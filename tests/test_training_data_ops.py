@@ -470,3 +470,55 @@ def test_simhash_near_dup_text_path(docs):
     assert (1, 3) in wide and (1, 2) in wide
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dup(docs, max_hamming=64)
+
+
+def test_repetition_scores_hand_checked(spark):
+    """Hand-computed Gopher repetition metrics on a 4-line doc with one
+    repeated line and a dominant repeated 2-gram."""
+    from graphrag_rs_spark.operators.text_analysis import repetition_scores
+
+    text = "spam spam spam spam\nreal content line\nspam spam spam spam\n\nunique tail"
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "one two")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+
+    r = rows[1]
+    # 4 non-blank lines, line "spam spam spam spam" appears twice
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(1 / 4)
+    # repeated occurrence chars = 19; total line chars = 19+17+19+11 = 66
+    assert r["dup_line_char_frac"] == pytest.approx(19 / 66)
+    # normalized text = "spam spam spam spam real content line spam spam spam spam unique tail"
+    # most frequent 2-gram "spam spam" occurs 6 times (3 per spam line,
+    # "spam spam" across the line join at positions 7-8... compute directly:
+    norm = " ".join(text.lower().split())
+    toks = norm.split(" ")
+    from collections import Counter
+    c2 = Counter(" ".join(toks[i:i+2]) for i in range(len(toks)-1))
+    gram, cnt = max(c2.items(), key=lambda kv: (kv[1], ))
+    assert r["top_2gram_char_frac"] == pytest.approx(cnt * len(gram) / len(norm))
+
+    # empty doc: all zeros
+    assert rows[2]["n_lines"] == 0 and rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["top_2gram_char_frac"] == 0.0
+    # doc with 2 tokens has no 3-gram
+    assert rows[3]["top_3gram_char_frac"] == 0.0
+    assert rows[3]["top_2gram_char_frac"] > 0
+
+
+def test_repetition_scores_is_narrow_plan(spark):
+    """The operator must stay a narrow projection — zero exchanges, zero
+    Python stages (the 100-TB property: repetition filtering costs one
+    scan, not two gram-keyed shuffles)."""
+    import io, re
+    from contextlib import redirect_stdout
+    from graphrag_rs_spark.operators.text_analysis import repetition_scores
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        repetition_scores(df).explain("formatted")
+    plan = buf.getvalue()
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.MULTILINE)
+    assert "Exchange" not in ops
+    assert not any(o in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython") for o in ops)
