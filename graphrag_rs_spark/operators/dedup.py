@@ -7,6 +7,7 @@
 * :func:`embedding_near_dup` — cosine near-duplicate pairs over embeddings
 * :func:`simhash_near_dup`   — banded hamming join (100%-recall pigeonhole)
 * :func:`near_dup_clusters`  — pairs → transitive clusters + canonical pick
+* :func:`benchmark_contamination` — GPT-3-style n-gram eval-set overlap
 
 Design: signatures are computed with BUILT-IN functions wherever possible
 (xxhash64 over shingles via higher-order array functions — JVM-side); only
@@ -483,4 +484,86 @@ def simhash_near_dup(
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation benchmark — the
+    GPT-3-style n-gram decontamination check (Brown et al. 2020 §C used
+    13-grams; the default here) every training-data pipeline runs before
+    a model ships.
+
+    Both sides reduce to DISTINCT word n-gram hashes (the same JVM
+    ``xxhash64``-over-shingles machinery as :func:`minhash_signatures`).
+    Returns one row per input document::
+
+        (doc_id, n_grams, contaminated_grams, contamination_frac,
+         is_contaminated)
+
+    * ``n_grams`` — the document's distinct n-gram count (0 when shorter
+      than ``n`` tokens → never flagged).
+    * ``contaminated_grams`` — how many of those occur anywhere in the
+      benchmark; ``contamination_frac`` = the ratio;
+      ``is_contaminated`` = ``contaminated_grams >= min_hits``.
+
+    Scale shape: the benchmark gram set is eval-suite-sized (thousands of
+    rows, not corpus-sized), so with ``broadcast_benchmark`` (default)
+    the collision join is a map-side BroadcastHashJoin against the
+    exploded corpus grams and the only wide stage is the per-doc count
+    re-aggregation keyed on doc_id. Set it False for a giant benchmark
+    side and the join degrades gracefully to shuffle."""
+    # _shingle_hashes emits one truncated gram for texts under n tokens;
+    # filter both sides to real n-gram coverage so a 2-word doc can never
+    # collide with a 2-word benchmark row
+    doc_grams = docs.where(
+        F.size(F.split(_norm_text(text_col), " ")) >= n
+    ).select(F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("g"))
+    bench_grams = (
+        benchmark.where(F.size(F.split(_norm_text(bench_text_col), " ")) >= n)
+        .select(F.explode(_shingle_hashes(bench_text_col, n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    totals = docs.select(
+        F.col(id_col),
+        # count real n-gram coverage as 0 under n tokens (matching the
+        # gram-side filter above)
+        F.when(
+            F.size(F.split(_norm_text(text_col), " ")) >= n,
+            F.size(_shingle_hashes(text_col, n)),
+        ).otherwise(F.lit(0)).alias("n_grams"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("contaminated_grams", F.lit(0)).alias(
+                "contaminated_grams"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("contaminated_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("contamination_frac"),
+            (
+                (F.col("n_grams") > 0)
+                & (F.coalesce("contaminated_grams", F.lit(0)) >= min_hits)
+            ).alias("is_contaminated"),
+        )
     )

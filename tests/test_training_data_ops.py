@@ -522,3 +522,48 @@ def test_repetition_scores_is_narrow_plan(spark):
     ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.MULTILINE)
     assert "Exchange" not in ops
     assert not any(o in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython") for o in ops)
+
+
+def test_benchmark_contamination_planted(spark):
+    """A training doc embedding a verbatim benchmark sentence is flagged;
+    clean docs and sub-n docs are not; fraction is hand-checkable."""
+    from graphrag_rs_spark.operators.dedup import benchmark_contamination
+
+    bench_sent = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + bench_sent + " trailing words follow now"),
+            (2, "totally unrelated content about spark shuffles and parquet files"),
+            (3, "alpha beta"),  # shorter than n -> never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_sent,)], "text string")
+    rows = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(docs, bench, n=6).collect()
+    }
+    assert rows[1]["is_contaminated"]
+    # doc 1: 13 tokens -> 8 distinct 6-grams, exactly 1 equals the benchmark
+    assert rows[1]["n_grams"] == 8 and rows[1]["contaminated_grams"] == 1
+    assert rows[1]["contamination_frac"] == pytest.approx(1 / 8)
+    assert not rows[2]["is_contaminated"] and rows[2]["contaminated_grams"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["is_contaminated"]
+    assert rows[3]["contaminated_grams"] == 0
+
+
+def test_benchmark_contamination_broadcasts(spark):
+    """The benchmark side must reach the corpus grams as a broadcast join
+    (the 100-TB shape: eval suites are small, the corpus is not)."""
+    import io, re
+    from contextlib import redirect_stdout
+    from graphrag_rs_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l m n")],
+                                 "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e f g h i j k l m",)], "text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        benchmark_contamination(docs, bench, n=13).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
