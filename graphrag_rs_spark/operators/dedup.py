@@ -350,8 +350,13 @@ def near_dup_clusters(
     Returns ``(doc_id, cluster_id, is_canonical)``:
 
     * ``cluster_id`` — the minimum string member id (the CC representative).
-    * ``keep="min_id"`` — the representative is canonical (pure JVM, no
-      extra shuffle beyond CC).
+    * ``keep="min_id"`` — the smallest *present* member id is canonical
+      (pure JVM, no extra shuffle beyond CC). With ``docs`` provided the
+      minimum is taken over the cluster members that exist in ``docs`` —
+      pair ids absent from ``docs`` may still name the cluster (CC
+      representative) but can never be the survivor, so every non-empty
+      cluster keeps exactly one canonical row even when the
+      representative itself was filtered out of ``docs`` upstream.
     * ``keep="longest"`` — the longest ``text_col`` in the cluster wins,
       ties to the smaller id (requires ``docs``); one window over
       cluster_id — partition sizes are bounded by cluster membership, not
@@ -373,13 +378,17 @@ def near_dup_clusters(
         F.col("id1").cast("string").alias("src"),
         F.col("id2").cast("string").alias("dst"),
     )
-    cc = connected_components(edges)  # (id string, component string)
+    # rename CC output before any join: its 'id' column would otherwise
+    # collide with id_col='id' inputs (AMBIGUOUS_REFERENCE)
+    cc = connected_components(edges).select(
+        F.col("id").alias("_cc_id"), F.col("component").alias("_cc_comp")
+    )
 
     if docs is None:
         out = cc.select(
-            F.col("id").alias(id_col),
-            F.col("component").alias("cluster_id"),
-            (F.col("id") == F.col("component")).alias("is_canonical"),
+            F.col("_cc_id").alias(id_col),
+            F.col("_cc_comp").alias("cluster_id"),
+            (F.col("_cc_id") == F.col("_cc_comp")).alias("is_canonical"),
         )
         return out
 
@@ -390,19 +399,27 @@ def near_dup_clusters(
           if keep == "longest" else []),
     )
     assigned = (
-        base.join(cc, base["_sid"] == cc["id"], "left")
+        base.join(cc, base["_sid"] == cc["_cc_id"], "left")
         .select(
             F.col(id_col),
             "_sid",
             *(["_len"] if keep == "longest" else []),
-            F.coalesce(F.col("component"), F.col("_sid")).alias("cluster_id"),
+            F.coalesce(F.col("_cc_comp"), F.col("_sid")).alias("cluster_id"),
         )
     )
     if keep == "min_id":
+        # canonical = minimum _sid among the cluster members PRESENT in
+        # docs (not `_sid == cluster_id`): pair ids missing from docs are
+        # dropped by the left join above, and if the dropped id was the
+        # CC representative no member would match it — the window keeps
+        # the exactly-one-canonical-per-cluster invariant regardless
+        w_min = Window.partitionBy("cluster_id")
         return assigned.select(
             id_col,
             "cluster_id",
-            (F.col("_sid") == F.col("cluster_id")).alias("is_canonical"),
+            (F.col("_sid") == F.min("_sid").over(w_min)).alias(
+                "is_canonical"
+            ),
         )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_len"), F.asc("_sid")

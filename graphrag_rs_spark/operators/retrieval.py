@@ -315,6 +315,15 @@ def pagerank(
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if personalization is not None and "weight" in personalization.columns:
+        # pre-aggregate duplicate seed ids BEFORE dispatching: the local
+        # path's dict would otherwise keep the last weight while the
+        # distributed path's left join would duplicate node rows and
+        # double-count mass — summing per id makes both paths identical
+        # and well-defined for any input
+        personalization = personalization.groupBy("id").agg(
+            F.sum("weight").alias("weight")
+        )
     if strategy == "local" or (
         strategy == "auto" and e.count() <= local_threshold
     ):

@@ -157,6 +157,42 @@ def test_pagerank_local_matches_distributed(spark):
             assert local[k] == pytest.approx(dist[k], abs=1e-9), (pers, k)
 
 
+def test_pagerank_duplicate_weighted_seeds_agree(spark):
+    """Regression (ADVICE r3): duplicate ids in a weighted personalization
+    DataFrame used to diverge (local dict last-wins vs distributed join
+    row duplication / double-counted mass). Weights are now pre-aggregated
+    by id (sum) before dispatch, so both paths agree, emit one rank row
+    per node, and match an explicitly pre-summed input."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("c", 1.0)], "id string, weight double"
+    )
+    summed = spark.createDataFrame(
+        [("a", 3.0), ("c", 1.0)], "id string, weight double"
+    )
+    results = {}
+    for name, pers, strat in (
+        ("local_dup", dup, "local"),
+        ("dist_dup", dup, "distributed"),
+        ("dist_summed", summed, "distributed"),
+    ):
+        rows = pagerank(
+            edges, personalization=pers, max_iter=17, strategy=strat
+        ).collect()
+        assert len(rows) == 4, f"{name}: duplicate rank rows emitted"
+        results[name] = {r["id"]: r["rank"] for r in rows}
+    for k in results["local_dup"]:
+        assert results["local_dup"][k] == pytest.approx(
+            results["dist_dup"][k], abs=1e-9
+        )
+        assert results["dist_dup"][k] == pytest.approx(
+            results["dist_summed"][k], abs=1e-9
+        )
+
+
 def test_pagerank_auto_gates_on_edge_count(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c")], "subj string, obj string"

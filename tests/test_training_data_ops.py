@@ -401,6 +401,40 @@ def test_near_dup_clusters_int_ids_and_pairs_only(spark):
     assert only_pairs == {"2", "10"}
 
 
+def test_near_dup_clusters_id_col_named_id(spark):
+    """Regression (ADVICE r3): id_col='id' used to collide with the CC
+    output's own 'id' column and raise AMBIGUOUS_REFERENCE."""
+    pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+    docs = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("z", "t")], "id string, text string"
+    )
+    rows = {
+        r["id"]: r for r in near_dup_clusters(pairs, docs, id_col="id").collect()
+    }
+    assert rows["a"]["is_canonical"] and not rows["b"]["is_canonical"]
+    assert rows["z"]["cluster_id"] == "z" and rows["z"]["is_canonical"]
+    # keep='longest' exercises the same join path
+    out = near_dup_clusters(pairs, docs, id_col="id", keep="longest")
+    assert out.count() == 3
+
+
+def test_near_dup_clusters_representative_missing_from_docs(spark):
+    """Regression (ADVICE r3): when the cluster's min-id member is absent
+    from docs (e.g. filtered upstream), the exactly-one-canonical
+    invariant must still hold — the smallest PRESENT member wins."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "id1 string, id2 string"
+    )
+    docs = spark.createDataFrame(  # 'a' (the CC representative) missing
+        [("b", "t"), ("c", "t")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in near_dup_clusters(pairs, docs).collect()}
+    assert set(rows) == {"b", "c"}
+    assert rows["b"]["cluster_id"] == rows["c"]["cluster_id"] == "a"
+    canon = [k for k, r in rows.items() if r["is_canonical"]]
+    assert canon == ["b"]  # smallest present member, exactly one
+
+
 def test_near_dup_clusters_composes_with_lsh(docs):
     """End-to-end: MinHash-LSH pairs from the shared fixture feed the
     cluster materialization; every pair's two sides land in one cluster
