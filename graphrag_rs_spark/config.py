@@ -24,6 +24,15 @@ class PipelineConfig:
     turn_separator: str = "\n"
 
     # --- extraction (entity/mod.rs:97-156; defaults mod.rs:104-116) ---
+    # Pipeline approach (setconfig.rs:614-621 [mode].approach; dispatch
+    # lib.rs:383): "algorithmic" = pattern extraction; "semantic" =
+    # LLM-gleaning extraction (needs a client_factory at build time, else
+    # falls back to pattern exactly like the reference's
+    # `use_gleaning && ollama.enabled` gate); "hybrid" = both, fused per
+    # chunk with the gleaning merge rule (gleaning_extractor.rs:229-272).
+    # Default differs from the reference's "semantic" deliberately: the
+    # deterministic pattern path is this engine's parity anchor.
+    extraction_mode: str = "algorithmic"
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
     min_confidence: float = 0.5
     extract_relationships: bool = True

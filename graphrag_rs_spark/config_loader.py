@@ -135,6 +135,8 @@ def _parse_file(path: str) -> dict:
 # unmapped reference keys — ollama, monitoring, logging, … — are accepted
 # and ignored, as in the reference's conversion).
 _KEY_MAP: dict[tuple[str, str], str] = {
+    # [mode].approach (setconfig.rs:614-621 → config.approach:1735)
+    ("mode", "approach"): "extraction_mode",
     ("text_processing", "chunk_size"): "chunk_size",
     ("text_processing", "chunk_overlap"): "chunk_overlap",
     ("text_processing", "min_chunk_size"): "min_chunk_size",
@@ -200,9 +202,22 @@ def config_from_dict(raw: dict) -> PipelineConfig:
                 # in Spark that's "leave the session/AQE default" — keep ours
                 continue
             updates[target] = value
+    mode = updates.get("extraction_mode")
+    if mode is not None and mode not in ("algorithmic", "semantic", "hybrid"):
+        # setconfig.rs:1789-1793: unknown approach falls back to the
+        # top-level entity_extraction config (our defaults)
+        del updates["extraction_mode"]
+        mode = None
     gleaning = raw.get("entity_extraction", {})
     if isinstance(gleaning, dict) and gleaning.get("use_gleaning") is False:
-        updates["max_gleaning_rounds"] = 1
+        if mode in ("semantic", "hybrid"):
+            # setconfig.rs:1762-1768: mode.approach="semantic" ALWAYS
+            # enables gleaning; rounds fall back to the default (3) when
+            # use_gleaning was explicitly off
+            if "max_gleaning_rounds" not in updates:
+                updates["max_gleaning_rounds"] = 3
+        else:
+            updates["max_gleaning_rounds"] = 1
     try:
         return replace(PipelineConfig(), **updates)
     except TypeError as e:

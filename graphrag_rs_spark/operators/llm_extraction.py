@@ -38,6 +38,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from graphrag_rs_spark.config import PipelineConfig
 from graphrag_rs_spark.operators.extraction import EXTRACTION_SCHEMA
@@ -405,6 +406,100 @@ def extract_chunks_llm(
     return chunks.select(
         "chunk_id", "conv_id", "doc_id", "chunk_idx", "text"
     ).mapInPandas(run_batches, schema=EXTRACTION_SCHEMA)
+
+
+def merge_extractions(pattern: DataFrame, llm: DataFrame) -> DataFrame:
+    """Hybrid fusion of two ``EXTRACTION_SCHEMA`` tables (the reference's
+    "hybrid" approach, setconfig.rs:1780-1787 → lib.rs:383 — LLM + pattern
+    with the gleaning merge as the fusion rule).
+
+    Per chunk, entities merge exactly like ``merge_entity_data``
+    (gleaning_extractor.rs:229-272): key = LOWERCASE NAME, pattern rows
+    are the ``existing`` set (they keep their position), an LLM row
+    replaces its name-twin IN PLACE only when it carries strictly more
+    information — here strictly higher confidence, the schema-level stand-
+    in for the reference's strictly-longer description (LLM entities carry
+    the fixed 0.9 of llm_extractor.rs; pattern confidences are the
+    per-rule scores) — and never-seen LLM names append afterwards in LLM
+    order. Triples concatenate pattern-first and dedupe keeping the first
+    occurrence (``deduplicate_triples`` / gleaning_extractor.rs:416-435;
+    ``array_distinct`` preserves first-occurrence order). ``rank`` is
+    re-numbered to the merged position so downstream ``order_key``
+    semantics hold.
+
+    All JVM higher-order functions — a full-outer join on the chunk key is
+    the only shuffle, and both sides are co-partitioned by the same
+    upstream chunking so AQE usually plans it shuffle-free.
+    """
+    key = ["chunk_id", "conv_id", "doc_id", "chunk_idx"]
+    p = pattern.select(
+        *key,
+        F.col("entities").alias("p_ents"),
+        F.col("triples").alias("p_tris"),
+    )
+    l = llm.select(
+        *key,
+        F.col("entities").alias("l_ents"),
+        F.col("triples").alias("l_tris"),
+    )
+    empty_ents = F.array().cast(
+        "array<struct<entity_id:string,name:string,entity_type:string,"
+        "confidence:float,rank:int,mentions:array<struct<start:int,end:int>>>>"
+    )
+    empty_tris = F.array().cast(
+        "array<struct<subj:string,obj:string,pred:string>>"
+    )
+    j = (
+        p.join(l, key, "full_outer")
+        .select(
+            *key,
+            F.coalesce("p_ents", empty_ents).alias("p_ents"),
+            F.coalesce("l_ents", empty_ents).alias("l_ents"),
+            F.coalesce("p_tris", empty_tris).alias("p_tris"),
+            F.coalesce("l_tris", empty_tris).alias("l_tris"),
+        )
+    )
+
+    # in-place replacement: each pattern slot takes its LLM name-twin when
+    # that twin's confidence is STRICTLY higher (merge_entity_data's
+    # strictly-longer rule), else keeps itself
+    def replace_slot(e):
+        twin = F.try_element_at(
+            F.filter(
+                F.col("l_ents"),
+                lambda n: (F.lower(n["name"]) == F.lower(e["name"]))
+                & (n["confidence"] > e["confidence"]),
+            ),
+            F.lit(1),
+        )
+        return F.coalesce(twin, e)
+
+    merged_existing = F.transform(F.col("p_ents"), replace_slot)
+    appended_new = F.filter(
+        F.col("l_ents"),
+        lambda n: ~F.exists(
+            F.col("p_ents"),
+            lambda e: F.lower(e["name"]) == F.lower(n["name"]),
+        ),
+    )
+    fused = F.concat(merged_existing, appended_new)
+    # re-rank to merged position (rank is positional downstream)
+    reranked = F.transform(
+        fused,
+        lambda e, i: F.struct(
+            e["entity_id"].alias("entity_id"),
+            e["name"].alias("name"),
+            e["entity_type"].alias("entity_type"),
+            e["confidence"].alias("confidence"),
+            i.cast("int").alias("rank"),
+            e["mentions"].alias("mentions"),
+        ),
+    )
+    return j.select(
+        *key,
+        reranked.alias("entities"),
+        F.array_distinct(F.concat("p_tris", "l_tris")).alias("triples"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -38,9 +38,27 @@ def build_graph(
     transcripts: DataFrame,
     config: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
+    client_factory=None,
 ) -> dict[str, DataFrame]:
-    """Run the full build; returns every stage table by name."""
+    """Run the full build; returns every stage table by name.
+
+    ``config.extraction_mode`` selects the extraction stage the way the
+    reference's ``config.approach`` does (lib.rs:383, setconfig.rs:
+    1750-1794): ``algorithmic`` runs the deterministic pattern extractor;
+    ``semantic`` runs the batched-async LLM gleaning extractor
+    (``client_factory`` builds the endpoint client on each executor);
+    ``hybrid`` runs both and fuses per chunk with the gleaning merge rule.
+    With no ``client_factory``, semantic/hybrid FALL BACK to the pattern
+    path — the same gate as the reference's ``use_gleaning &&
+    ollama.enabled`` branch, which silently degrades to pattern extraction
+    when no endpoint is configured.
+    """
     config = config or PipelineConfig()
+    if config.extraction_mode not in ("algorithmic", "semantic", "hybrid"):
+        raise ValueError(
+            f"unknown extraction_mode {config.extraction_mode!r}: "
+            "'algorithmic' | 'semantic' | 'hybrid'"
+        )
     tune_object_agg(spark, config.object_agg_threshold)
     cfg_repr = repr(sorted(asdict(config).items()))
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
@@ -78,10 +96,34 @@ def build_graph(
         )
         chunks = chunks.repartition(n_extract)
 
-    def _extract():
+    llm_mode = (
+        config.extraction_mode in ("semantic", "hybrid")
+        and client_factory is not None
+    )
+
+    def _extract_pattern():
         if config.max_gleaning_rounds > 1:
             return extract_gleaning(chunks, config)
         return extract_chunks(chunks, config)
+
+    def _extract():
+        if not llm_mode:
+            return _extract_pattern()
+        from graphrag_rs_spark.operators.llm_extraction import (
+            extract_chunks_llm,
+            merge_extractions,
+        )
+
+        llm = extract_chunks_llm(
+            chunks,
+            client_factory,
+            config,
+            max_rounds=max(1, config.max_gleaning_rounds),
+        )
+        if config.extraction_mode == "semantic":
+            return llm
+        # hybrid: pattern is the `existing` side of the gleaning merge
+        return merge_extractions(extract_chunks(chunks, config), llm)
 
     extraction = stage("extraction", _extract, ("chunks",))
     if ckpt is None:
