@@ -29,10 +29,13 @@ from graphrag_rs_spark.fixtures import transcripts_df
 from graphrag_rs_spark.operators.assembly import assemble_documents
 from graphrag_rs_spark.operators.chunking import chunk_documents
 from graphrag_rs_spark.operators.dedup import (
+    benchmark_contamination,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_dedup,
+    near_dup_clusters,
     ngram_jaccard_pairs,
+    simhash_near_dup,
     simhash_signatures,
 )
 from graphrag_rs_spark.operators.graph import connected_components, degrees
@@ -45,6 +48,7 @@ from graphrag_rs_spark.operators.text_analysis import (
     fingerprints,
     language_id,
     quality_scores,
+    repetition_scores,
     token_counts,
 )
 from graphrag_rs_spark.operators.retrieval import (
@@ -492,11 +496,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = dedup_minhash
 
     def dedup_simhash(spark, sf_dir):
+        """Full SimHash dedup dataflow in ONE kind-tagged slot (50-row
+        driver cap): 'sig' rows pin the md5-60-bit signatures against the
+        hashlib twin; 'pair' rows pin the banded hamming join (pigeonhole
+        banding has 100% recall, so it must EQUAL DuckDB's exact all-pairs
+        popcount over the same signatures); 'cluster' rows pin
+        near_dup_clusters (CC transitive closure + min-present-member
+        canonical) against a recursive-CTE closure. Whitespace-variant
+        copies of the first 40 docs are planted (normalize identically →
+        hamming 0) so the pair/cluster legs always have positives; both
+        sides derive the same augmented table."""
         _ensure_twin_dump(sf_dir)
-        docs = _read(spark, sf_dir, "documents")
-        return simhash_signatures(docs, "text", "doc_id", hash_fn="md5")
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = docs.where(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+        aug = docs.unionByName(planted)
+        sigs = simhash_signatures(aug, "text", "doc_id", hash_fn="md5")
+        pairs = simhash_near_dup(
+            aug, "text", "doc_id", max_hamming=3, hash_fn="md5",
+            signatures=sigs,
+        )
+        clusters = near_dup_clusters(
+            pairs, aug, id_col="doc_id", text_col="text", keep="min_id"
+        )
+        sig_rows = sigs.select(
+            F.lit("sig").alias("kind"),
+            F.col("doc_id").cast("string").alias("a"),
+            F.lit("").alias("b"),
+            F.col("simhash").cast("string").alias("v"),
+        )
+        pair_rows = pairs.select(
+            F.lit("pair").alias("kind"),
+            F.col("id1").cast("string").alias("a"),
+            F.col("id2").cast("string").alias("b"),
+            F.col("hamming").cast("string").alias("v"),
+        )
+        cluster_rows = clusters.select(
+            F.lit("cluster").alias("kind"),
+            F.col("doc_id").cast("string").alias("a"),
+            F.col("cluster_id").alias("b"),
+            F.when(F.col("is_canonical"), F.lit("1")).otherwise("0").alias("v"),
+        )
+        return sig_rows.unionByName(pair_rows).unionByName(cluster_rows)
 
     q["dedup_simhash"] = dedup_simhash
+
+    def bench_contamination_q(spark, sf_dir):
+        """GPT-3-style 13-gram eval-set decontamination with a closed-form
+        SQL oracle: the benchmark side is derived from the corpus itself
+        (first 20 normalized tokens of every doc_id % 10 == 3 document),
+        so DuckDB rebuilds the identical benchmark and runs the distinct-
+        13-gram semi-join on gram STRINGS (hash-collision-free twin of the
+        xxhash64 gram domain)."""
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        norm = F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+", " ",
+        )
+        bench = docs.where(F.col("doc_id") % 10 == 3).select(
+            F.array_join(F.slice(F.split(norm, " "), 1, 20), " ").alias("text")
+        )
+        out = benchmark_contamination(
+            docs, bench, "text", "doc_id", n=13, min_hits=1
+        )
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("contaminated_grams").cast("long").alias(
+                "contaminated_grams"
+            ),
+            F.round("contamination_frac", 9).alias("contamination_frac"),
+            "is_contaminated",
+        )
+
+    q["benchmark_contamination"] = bench_contamination_q
 
     def dedup_embedding(spark, sf_dir):
         """Near-dup pairs over the embeddings table augmented with scaled
@@ -546,7 +621,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = fingerprints(docs, "text", "doc_id").select(
             "doc_id", "content_md5"
         )
-        return t.join(s, "doc_id").join(l, "doc_id").join(fp, "doc_id")
+        # Gopher repetition metrics ride the same slot. Line-derivation:
+        # documents are single-line, so spaces become line breaks (one
+        # token per line) — dup_line_* become token-repetition metrics
+        # while the top-N-gram metrics are unchanged (the operator's
+        # normalizer collapses \s+ right back). DuckDB derives the same
+        # token-lines from string_split.
+        rep = repetition_scores(
+            docs.select(
+                "doc_id",
+                F.regexp_replace("text", " ", "\n").alias("text"),
+            ),
+            "text", "doc_id",
+        ).select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round("dup_line_frac", 9).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 9).alias("dup_line_char_frac"),
+            F.round("top_2gram_char_frac", 9).alias("top_2gram_char_frac"),
+            F.round("top_3gram_char_frac", 9).alias("top_3gram_char_frac"),
+        )
+        return (
+            t.join(s, "doc_id").join(l, "doc_id").join(fp, "doc_id")
+            .join(rep, "doc_id")
+        )
 
     q["text_analysis"] = text_analysis_q
 
@@ -1206,42 +1304,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_kg"] = corpus_kg_q
 
     # ---- bidirectional entity<->chunk index (bidirectional_index.rs) ----
-    def bidir_cooc_q(spark, sf_dir):
+    def bidir_index_q(spark, sf_dir):
+        """Bidirectional entity↔chunk index in ONE kind-tagged slot
+        (consolidates r3's bidir_co_occurring + bidir_index_stats, losing
+        no column: 'cooc' rows carry the full co-occurrence table, 'stats'
+        rows unpivot the five index statistics)."""
         from graphrag_rs_spark.operators.bidirectional_index import (
             co_occurring_entities,
-        )
-
-        _ensure_oracle_dump(sf_dir)
-        m = _kg_tables(spark, sf_dir)["mentions"]
-        out = co_occurring_entities(m)
-        return out.select(
-            "entity_id", "other_entity_id",
-            F.col("shared_chunks").cast("long").alias("shared_chunks"),
-        )
-
-    q["bidir_co_occurring"] = bidir_cooc_q
-
-    def bidir_stats_q(spark, sf_dir):
-        from graphrag_rs_spark.operators.bidirectional_index import (
             index_statistics,
         )
 
         _ensure_oracle_dump(sf_dir)
         m = _kg_tables(spark, sf_dir)["mentions"]
-        out = index_statistics(m)
-        return out.select(
-            F.col("total_entities").cast("long").alias("total_entities"),
-            F.col("total_chunks").cast("long").alias("total_chunks"),
-            F.col("total_mappings").cast("long").alias("total_mappings"),
-            F.col("avg_chunks_per_entity").cast("double").alias(
-                "avg_chunks_per_entity"
-            ),
-            F.col("avg_entities_per_chunk").cast("double").alias(
-                "avg_entities_per_chunk"
-            ),
+        cooc = co_occurring_entities(m).select(
+            F.lit("cooc").alias("kind"),
+            F.col("entity_id").alias("a"),
+            F.col("other_entity_id").alias("b"),
+            F.col("shared_chunks").cast("double").alias("v"),
         )
+        st = index_statistics(m)
+        stats = st.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit("stats").alias("kind"),
+                        F.lit(name).alias("a"),
+                        F.lit("").alias("b"),
+                        F.col(name).cast("double").alias("v"),
+                    )
+                    for name in (
+                        "total_entities", "total_chunks", "total_mappings",
+                        "avg_chunks_per_entity", "avg_entities_per_chunk",
+                    )
+                ])
+            ).alias("r")
+        ).select("r.kind", "r.a", "r.b", "r.v")
+        return cooc.unionByName(stats)
 
-    q["bidir_index_stats"] = bidir_stats_q
+    q["bidir_index"] = bidir_index_q
 
     # ---- heuristic relationship fallback (llm_relationship_extractor.rs
     # :266-441) over the KG stage tables; twin-dump oracle (independent
@@ -1303,8 +1403,46 @@ def oracle_sql() -> dict[str, str]:
         return os.path.join(_CORRECTNESS_DUMP, f"{name}.parquet")
 
     # ---- twin-dump oracles (single-process reimplementations) ----
+    # sig: hashlib twin signatures (+ the whitespace-plant copies, which
+    # normalize identically so they reuse the original's signature);
+    # pair: exact all-pairs popcount — the banded join's pigeonhole recall
+    # makes banded ≡ exact; cluster: recursive-CTE transitive closure with
+    # min-string representative == min-present-member canonical.
     o["dedup_simhash"] = f"""
-        SELECT doc_id, simhash FROM read_parquet('{_dump("dedup_simhash")}')
+        WITH RECURSIVE sig0 AS (
+          SELECT doc_id, simhash FROM read_parquet('{_dump("dedup_simhash")}')
+        ), sig AS (
+          SELECT doc_id, simhash FROM sig0
+          UNION ALL
+          SELECT doc_id + 100000, simhash FROM sig0 WHERE doc_id < 40
+        ), pair AS (
+          SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+                 bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+          FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+          WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+        ), e AS (
+          SELECT CAST(id1 AS VARCHAR) AS a, CAST(id2 AS VARCHAR) AS b
+          FROM pair
+          UNION ALL
+          SELECT CAST(id2 AS VARCHAR), CAST(id1 AS VARCHAR) FROM pair
+        ), reach(a, b) AS (
+          SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) FROM sig
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ), cc AS (
+          SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+        )
+        SELECT 'sig' AS kind, CAST(doc_id AS VARCHAR) AS a, '' AS b,
+               CAST(simhash AS VARCHAR) AS v
+        FROM sig
+        UNION ALL
+        SELECT 'pair', CAST(id1 AS VARCHAR), CAST(id2 AS VARCHAR),
+               CAST(hamming AS VARCHAR)
+        FROM pair
+        UNION ALL
+        SELECT 'cluster', id, comp,
+               CASE WHEN id = comp THEN '1' ELSE '0' END
+        FROM cc
     """
     o["pagerank_nation_chain"] = f"""
         SELECT id, rank FROM read_parquet('{_dump("pagerank_nation_chain")}')
@@ -1395,30 +1533,83 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id = b.doc_id AND a.cluster_id < b.cluster_id
         GROUP BY a.cluster_id, b.cluster_id
     """
-    o["bidir_co_occurring"] = f"""
+    o["bidir_index"] = f"""
         WITH m AS (
           SELECT DISTINCT entity_id, chunk_id
           FROM read_parquet('{_dump("kg_mentions")}')
+        ), cooc AS (
+          SELECT a.entity_id AS ea, b.entity_id AS eb,
+                 CAST(COUNT(*) AS DOUBLE) AS v
+          FROM m a JOIN m b
+            ON a.chunk_id = b.chunk_id AND a.entity_id <> b.entity_id
+          GROUP BY 1, 2
+        ), s AS (
+          SELECT CAST(COUNT(DISTINCT entity_id) AS DOUBLE) AS total_entities,
+                 CAST(COUNT(DISTINCT chunk_id) AS DOUBLE) AS total_chunks,
+                 CAST(COUNT(*) AS DOUBLE) AS total_mappings,
+                 CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT entity_id)
+                     AS avg_chunks_per_entity,
+                 CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT chunk_id)
+                     AS avg_entities_per_chunk
+          FROM m
         )
-        SELECT a.entity_id, b.entity_id AS other_entity_id,
-               CAST(COUNT(*) AS BIGINT) AS shared_chunks
-        FROM m a JOIN m b
-          ON a.chunk_id = b.chunk_id AND a.entity_id <> b.entity_id
-        GROUP BY 1, 2
+        SELECT 'cooc' AS kind, ea AS a, eb AS b, v FROM cooc
+        UNION ALL SELECT 'stats', 'total_entities', '', total_entities FROM s
+        UNION ALL SELECT 'stats', 'total_chunks', '', total_chunks FROM s
+        UNION ALL SELECT 'stats', 'total_mappings', '', total_mappings FROM s
+        UNION ALL
+        SELECT 'stats', 'avg_chunks_per_entity', '', avg_chunks_per_entity
+        FROM s
+        UNION ALL
+        SELECT 'stats', 'avg_entities_per_chunk', '', avg_entities_per_chunk
+        FROM s
     """
-    o["bidir_index_stats"] = f"""
-        WITH m AS (
-          SELECT DISTINCT entity_id, chunk_id
-          FROM read_parquet('{_dump("kg_mentions")}')
+    # closed-form decontamination oracle: both sides derive the benchmark
+    # from doc_id % 10 == 3 first-20-token slices; DuckDB joins distinct
+    # 13-gram STRINGS where Spark joins their xxhash64 images (injective
+    # up to 2^-64 collisions at this scale).
+    o["benchmark_contamination"] = f"""
+        WITH tk AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+                 length({_NORM}) AS nc
+          FROM documents
+        ), dg AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 11),
+                   i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+                   AS grams
+          FROM tk WHERE len(toks) >= 13
+        ), btk AS (
+          SELECT list_slice(toks, 1, 20) AS toks FROM tk
+          WHERE doc_id % 10 = 3
+        ), bg AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 11),
+                   i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+                   AS g
+          FROM btk WHERE len(toks) >= 13
+        ), de AS (
+          SELECT doc_id, unnest(grams) AS g FROM dg
+        ), hits AS (
+          SELECT de.doc_id, count(*) AS c
+          FROM de JOIN bg USING (g) GROUP BY de.doc_id
+        ), totals AS (
+          SELECT tk.doc_id,
+                 CASE WHEN len(toks) >= 13
+                      THEN len(list_distinct(list_transform(
+                             range(1, len(toks) - 11),
+                             i -> array_to_string(
+                               list_slice(toks, i, i + 12), ' '))))
+                      ELSE 0 END AS n_grams
+          FROM tk
         )
-        SELECT CAST(COUNT(DISTINCT entity_id) AS BIGINT) AS total_entities,
-               CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS total_chunks,
-               CAST(COUNT(*) AS BIGINT) AS total_mappings,
-               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT entity_id)
-                   AS avg_chunks_per_entity,
-               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT chunk_id)
-                   AS avg_entities_per_chunk
-        FROM m
+        SELECT totals.doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(c, 0) AS BIGINT) AS contaminated_grams,
+               CASE WHEN n_grams > 0
+                    THEN round(CAST(coalesce(c, 0) AS DOUBLE) / n_grams, 9)
+                    ELSE 0.0 END AS contamination_frac,
+               (n_grams > 0 AND coalesce(c, 0) >= 1) AS is_contaminated
+        FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
     """
 
     o["kg_chunks"] = f"""
@@ -1584,20 +1775,87 @@ def oracle_sql() -> dict[str, str]:
     # one registry slot for all four text operators (see text_analysis in
     # queries()): the per-operator SQL bodies above become CTEs joined on
     # doc_id, so every original column is still compared.
+    # Gopher repetition twin (see text_analysis in queries(): documents
+    # are single-line, spaces become line breaks, so 'lines' are the raw
+    # space-split tokens; top-N-gram metrics run over the normalized text
+    # exactly like the operator).
+    text_rep_sql = rf"""
+        WITH L AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> length(trim(x)) > 0) AS lines,
+                 string_split({_NORM}, ' ') AS toks,
+                 length({_NORM}) AS total_chars
+          FROM documents
+        ), base AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 len(list_distinct(lines)) AS n_distinct,
+                 coalesce(list_sum(list_transform(lines,
+                   x -> length(x))), 0) AS line_chars,
+                 coalesce(list_sum(list_transform(list_distinct(lines),
+                   x -> length(x))), 0) AS distinct_chars,
+                 total_chars
+          FROM L
+        ), g2 AS (
+          SELECT doc_id, total_chars,
+                 unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                     i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                   ELSE [] END) AS gram
+          FROM L
+        ), b2 AS (
+          SELECT doc_id,
+                 CAST(count(*) AS DOUBLE) * length(gram)
+                   / greatest(any_value(total_chars), 1) AS frac
+          FROM g2 GROUP BY doc_id, gram
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) = 1
+        ), g3 AS (
+          SELECT doc_id, total_chars,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM L
+        ), b3 AS (
+          SELECT doc_id,
+                 CAST(count(*) AS DOUBLE) * length(gram)
+                   / greatest(any_value(total_chars), 1) AS frac
+          FROM g3 GROUP BY doc_id, gram
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) = 1
+        )
+        SELECT base.doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               round(CAST(n_lines - n_distinct AS DOUBLE)
+                     / greatest(n_lines, 1), 9) AS dup_line_frac,
+               round(CAST(line_chars - distinct_chars AS DOUBLE)
+                     / greatest(line_chars, 1), 9) AS dup_line_char_frac,
+               round(coalesce(b2.frac, 0.0), 9) AS top_2gram_char_frac,
+               round(coalesce(b3.frac, 0.0), 9) AS top_3gram_char_frac
+        FROM base
+        LEFT JOIN b2 USING (doc_id)
+        LEFT JOIN b3 USING (doc_id)
+    """
     o["text_analysis"] = f"""
         WITH tok AS ({text_tok_sql}),
         qual AS ({text_quality_sql}),
         lang AS ({text_lang_sql}),
-        fp AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents)
+        fp AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents),
+        rep AS ({text_rep_sql})
         SELECT tok.doc_id, tok.n_chars, tok.n_tokens, tok.n_pieces,
                qual.avg_token_len, qual.punct_ratio, qual.upper_ratio,
                qual.stopword_ratio, qual.quality_score,
                lang.hits_en, lang.hits_de, lang.hits_fr, lang.hits_es,
-               lang.lang_pred, fp.content_md5
+               lang.lang_pred, fp.content_md5,
+               rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac,
+               rep.top_2gram_char_frac, rep.top_3gram_char_frac
         FROM tok
         JOIN qual USING (doc_id)
         JOIN lang USING (doc_id)
         JOIN fp USING (doc_id)
+        JOIN rep USING (doc_id)
     """
 
     bm25_stop = ",".join(f"'{w}'" for w in BM25_STOPWORDS)
