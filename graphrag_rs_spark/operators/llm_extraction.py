@@ -244,6 +244,17 @@ async def _call_with_retry(client, prompt: str, policy: LLMCallPolicy) -> str:
     raise last if last else RuntimeError("LLM call failed")
 
 
+def completion_says_complete(response: str) -> bool:
+    """YES/NO completion-check parse (llm_extractor.rs:144-146): the
+    response is trimmed + uppercased and extraction is complete iff it
+    CONTAINS "YES" anywhere (the reference's ``starts_with("YES") ||
+    contains("YES")`` — the first arm is subsumed by the second). The
+    substring match is deliberate parity, quirks included: "no, but
+    yesterday…" and "EYES ONLY" both read as complete, "affirmative"
+    does not."""
+    return "YES" in response.strip().upper()
+
+
 def merge_entity_data(existing: list[dict], new: list[dict]) -> list[dict]:
     """Length-based entity merge (gleaning_extractor.rs:229-272), the
     LightRAG rule: key is the LOWERCASE NAME ONLY (type is not part of the
@@ -301,7 +312,7 @@ async def _glean_chunk(
             build_completion_prompt(text, all_ents, all_rels),
             policy,
         )
-        if "YES" in check.strip().upper():
+        if completion_says_complete(check):
             break
         raw = await _call_with_retry(
             client,

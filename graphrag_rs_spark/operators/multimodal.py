@@ -5,8 +5,9 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. ``decode="fake"`` produces a deterministic fake
 decode (byte-statistics features) that exercises the full distributed
 path for ANY payload; ``decode="real"`` runs actual pure-stdlib decoders
-(rules/media.py: PNG via zlib inflate + scanline de-filter, WAV via the
-``wave`` module) — formats needing external codecs (JPEG, MP4, …) raise
+(rules/media.py: PNG via zlib inflate + scanline de-filter, baseline
+JPEG via rules/jpeg.py huffman + IDCT, WAV via the ``wave`` module) —
+formats needing external codecs (MP4, progressive JPEG, …) raise
 ``ValueError`` at the same integration point where a PIL/ffmpeg kernel
 would plug in.
 """
@@ -84,8 +85,13 @@ def extract_features(
                     s.ravel(), bins=n_features, range=(-32768, 32768)
                 )
                 return (hist / max(1, s.size)).astype(np.float32)
+            if mime == "image/jpeg":
+                px = media_rules.decode_jpeg(buf)["pixels"]
+                lum = px.mean(axis=2).ravel()
+                hist, _ = np.histogram(lum, bins=n_features, range=(0, 256))
+                return (hist / max(1, lum.size)).astype(np.float32)
             raise ValueError(
-                "real decode supports PNG/WAV in this container; "
+                "real decode supports PNG/JPEG/WAV in this container; "
                 f"got unrecognized payload ({len(buf)} bytes) — plug a "
                 "PIL/ffmpeg kernel here for other formats"
             )
@@ -163,10 +169,16 @@ def decode_media(media: DataFrame) -> DataFrame:
                         rows.append((media_id, kind, mime, None, None,
                                      d["channels"], d["duration_ms"],
                                      d["sample_rate"], True, None))
+                    elif mime == "image/jpeg":
+                        d = media_rules.decode_jpeg(buf)
+                        rows.append((media_id, kind, mime, d["width"],
+                                     d["height"], 3, None, None,
+                                     True, None))
                     else:
                         rows.append((media_id, kind, None, None, None, None,
                                      None, None, False,
-                                     "unrecognized format (PNG/WAV supported)"))
+                                     "unrecognized format "
+                                     "(PNG/JPEG/WAV supported)"))
                 except Exception as e:  # noqa: BLE001 — per-payload isolation
                     rows.append((media_id, kind, None, None, None, None,
                                  None, None, False, str(e)[:200]))

@@ -20,6 +20,13 @@ import io
 import struct
 import zlib
 
+# baseline-sequential JPEG lives in its own module (rules/jpeg.py);
+# re-exported here so sniff → decode dispatch has one import surface
+from graphrag_rs_spark.rules.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -30,6 +37,8 @@ def sniff_mime(buf: bytes) -> str | None:
         return "image/png"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "audio/wav"
+    if buf.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
     return None
 
 

@@ -205,6 +205,60 @@ def test_exhausted_retries_degrade_to_empty_not_dead_task(spark):
 # test_merge_entity_data (gleaning_extractor.rs:519-560): same-name entity
 # from a later round wins only via a strictly longer description; a new
 # name is appended.
+def test_completion_check_parse_reference_vectors():
+    """llm_extractor.rs:144-146: trim + uppercase, complete iff the
+    response CONTAINS "YES" — substring quirks are parity, not bugs."""
+    from graphrag_rs_spark.operators.llm_extraction import (
+        completion_says_complete,
+    )
+
+    complete = [
+        "YES", "yes", "  Yes.  ", "The answer is YES",
+        "no, but yesterday's entities were fine",   # 'yesterday' ⊃ YES
+        "EYES ONLY",                                # 'EYES' ⊃ YES
+        "NO... wait, YES",
+    ]
+    incomplete = [
+        "NO", "no", "  No, entities are missing  ",
+        "affirmative", "definitely complete", "", "Y E S", "N",
+    ]
+    for r in complete:
+        assert completion_says_complete(r), r
+    for r in incomplete:
+        assert not completion_says_complete(r), r
+
+
+def test_gleaning_loop_uses_reference_completion_parse(spark):
+    """A completion response that merely CONTAINS 'yes' inside another
+    word stops the gleaning loop (reference substring semantics) — the
+    gleaning table must never be consulted."""
+    def make():
+        return RecordedClient(
+            extraction={"Ada wrote": json.dumps({
+                "entities": [{"name": "Ada", "type": "PERSON",
+                              "description": "d"}],
+                "relationships": [],
+            })},
+            completion={"Ada wrote": "checked against yesterday's notes"},
+            gleaning={"Ada wrote": json.dumps({
+                "entities": [{"name": "SHOULD NOT APPEAR",
+                              "type": "PERSON", "description": "x"}],
+                "relationships": [],
+            })},
+        )
+
+    chunks = spark.createDataFrame(
+        [("c1", "v1", "d1", 0, "Ada wrote the first program.")],
+        "chunk_id string, conv_id string, doc_id string, chunk_idx int, "
+        "text string",
+    )
+    rows = extract_chunks_llm(
+        chunks, make, PipelineConfig(), max_rounds=3
+    ).collect()
+    names = {e["name"] for e in rows[0]["entities"]}
+    assert names == {"Ada"}
+
+
 def test_merge_entity_data_reference_vector():
     existing = [
         {"name": "Tom Sawyer", "type": "PERSON", "description": "A boy"},

@@ -145,7 +145,75 @@ def test_wav_roundtrip_and_duration():
 def test_sniff_mime():
     assert sniff_mime(encode_png(_rng_pixels(2, 2, 1))) == "image/png"
     assert sniff_mime(encode_wav(np.zeros(8, dtype=np.int16))) == "audio/wav"
-    assert sniff_mime(b"\xff\xd8\xff junk") is None
+    assert sniff_mime(b"\xff\xd8\xff junk") == "image/jpeg"
+    assert sniff_mime(b"\x00\x01\x02") is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (rules/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        xx * 255 // max(w - 1, 1),
+        yy * 255 // max(h - 1, 1),
+        (xx + yy) * 255 // max(h + w - 2, 1),
+    ], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ss", ["4:4:4", "4:2:2", "4:2:0"])
+def test_jpeg_roundtrip_subsamplings(ss):
+    """Lossy round-trip at quality 95 on smooth content must stay within
+    a few quantization steps at every chroma layout (non-multiple-of-8
+    dimensions exercise the pad/crop path)."""
+    from graphrag_rs_spark.rules.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(41, 53)
+    buf = encode_jpeg(img, quality=95, subsampling=ss)
+    assert sniff_mime(buf) == "image/jpeg"
+    out = decode_jpeg(buf)
+    assert (out["width"], out["height"]) == (53, 41)
+    assert out["pixels"].shape == (41, 53, 3)
+    err = np.abs(out["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.5, (ss, err.max(), err.mean())
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn resync: per-interval DC predictor reset + bit realignment
+    must reproduce the same pixels as the unsegmented stream."""
+    from graphrag_rs_spark.rules.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(24, 40)  # 15 MCUs at 4:4:4
+    plain = decode_jpeg(encode_jpeg(img, quality=92))["pixels"]
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=92, restart_interval=4)
+    )["pixels"]
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_noisy_content_and_high_detail():
+    from graphrag_rs_spark.rules.jpeg import decode_jpeg, encode_jpeg
+
+    img = _rng_pixels(17, 23, 3, seed=11)
+    out = decode_jpeg(encode_jpeg(img, quality=90))["pixels"]
+    err = np.abs(out.astype(int) - img.astype(int))
+    # noisy content is the worst case for JPEG; bound the damage
+    assert err.mean() < 12
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from graphrag_rs_spark.rules.jpeg import decode_jpeg, encode_jpeg
+
+    buf = bytearray(encode_jpeg(_gradient(8, 8)))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04zz\xff\xd9")  # no SOF/SOS
 
 
 # ---------------------------------------------------------------------------
@@ -154,10 +222,13 @@ def test_sniff_mime():
 
 def test_decode_media_fills_metadata_and_isolates_corrupt(spark):
     from graphrag_rs_spark.operators.multimodal import decode_media, media_table
+    from graphrag_rs_spark.rules.jpeg import encode_jpeg
 
     png = encode_png(_rng_pixels(7, 5, 3))
     wav = encode_wav(np.zeros(800, dtype=np.int16), sample_rate=8000)
-    rows = [(1, png), (2, wav), (3, b"not media at all"), (4, png[:30])]
+    jpg = encode_jpeg(_gradient(9, 11), quality=90, subsampling="4:2:0")
+    rows = [(1, png), (2, wav), (3, b"not media at all"), (4, png[:30]),
+            (5, jpg)]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
         r["media_id"]: r
@@ -171,23 +242,28 @@ def test_decode_media_fills_metadata_and_isolates_corrupt(spark):
     assert got["2"]["duration_ms"] == 100 and got["2"]["sample_rate"] == 8000
     assert not got["3"]["ok"] and got["3"]["err"]
     assert not got["4"]["ok"]  # truncated PNG must not kill the stage
+    assert got["5"]["ok"] and got["5"]["mime"] == "image/jpeg"
+    assert (got["5"]["width"], got["5"]["height"]) == (11, 9)
 
 
 def test_extract_features_real_decode(spark):
     from graphrag_rs_spark.operators.multimodal import extract_features, media_table
 
+    from graphrag_rs_spark.rules.jpeg import encode_jpeg
+
     png = encode_png(_rng_pixels(16, 16, 3))
     wav = encode_wav(
         (np.sin(np.arange(400)) * 10000).astype(np.int16), sample_rate=8000
     )
+    jpg = encode_jpeg(_gradient(16, 16), quality=90)
     df = spark.createDataFrame(
-        [(1, png), (2, wav)], "media_id long, payload binary"
+        [(1, png), (2, wav), (3, jpg)], "media_id long, payload binary"
     )
     feats = extract_features(
         media_table(df, "payload", "mixed", "media_id"),
         n_features=8, decode="real",
     ).collect()
-    assert len(feats) == 2
+    assert len(feats) == 3
     for r in feats:
         assert len(r["features"]) == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-5

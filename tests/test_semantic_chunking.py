@@ -91,6 +91,68 @@ class TestBreakpoints:
         assert d[0] == pytest.approx(0.0)
         assert d[1] == pytest.approx(1.0)
 
+    # --- the reference's own unit vectors, ported verbatim ---
+
+    def test_rs_percentile_threshold_vector(self):
+        """semantic_chunking.rs:362-379 test_percentile_threshold: the
+        95th percentile of [0.1 … 1.0] indexes sorted[min(int(10·0.95),
+        9)] = sorted[9] = 1.0 (the reference asserts ≥ 0.9)."""
+        from graphrag_rs_spark.rules.semantic_chunking import (
+            breakpoint_threshold,
+        )
+
+        cfg = SemanticChunkerConfig(
+            strategy="percentile", threshold_amount=95.0
+        )
+        diffs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+        thr = breakpoint_threshold(diffs, cfg)
+        assert thr == pytest.approx(1.0)
+        assert thr >= 0.9  # the reference's literal assertion
+
+    def test_rs_std_threshold_zero_sigma_vector(self):
+        """semantic_chunking.rs:381-396 test_std_threshold: identical
+        diffs → σ = 0 → threshold collapses to the mean regardless of the
+        3σ multiplier."""
+        from graphrag_rs_spark.rules.semantic_chunking import (
+            breakpoint_threshold,
+        )
+
+        cfg = SemanticChunkerConfig(strategy="std_dev", threshold_amount=3.0)
+        thr = breakpoint_threshold([0.5, 0.5, 0.5, 0.5, 0.5], cfg)
+        assert thr == pytest.approx(0.5, abs=1e-3)
+
+    def test_rs_sentence_splitting_vector(self):
+        """semantic_chunking.rs:322-336 test_sentence_splitting."""
+        s = split_sentences(
+            "This is sentence one. This is sentence two! "
+            "Is this sentence three?"
+        )
+        assert len(s) == 3
+        assert "sentence one" in s[0]
+        assert "sentence two" in s[1]
+        assert "sentence three" in s[2]
+
+    def test_rs_semantic_chunking_basic_vector(self):
+        """semantic_chunking.rs:398-425 test_semantic_chunking_basic:
+        percentile 50, min 1, max 0, buffer 1 over the 4-sentence text
+        yields non-empty chunks, each with content and a positive
+        sentence count."""
+        from graphrag_rs_spark.rules.semantic_chunking import semantic_chunk
+
+        cfg = SemanticChunkerConfig(
+            strategy="percentile", threshold_amount=50.0,
+            min_chunk_size=1, max_chunk_size=0, buffer_size=1,
+        )
+        chunks = semantic_chunk(
+            "Alice loves programming. Bob also codes daily. "
+            "The weather is sunny. Rain is expected tomorrow.",
+            cfg,
+        )
+        assert chunks
+        for c in chunks:
+            assert c["content"]
+            assert c["sentence_count"] > 0
+
 
 class TestCreateChunks:
     CFG = SemanticChunkerConfig(min_chunk_size=2, max_chunk_size=0)
