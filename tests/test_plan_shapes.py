@@ -299,3 +299,76 @@ def test_semantic_merge_candidates_blocked_no_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert s["python_stages"] == 0, s
     assert s["broadcast_joins"] >= 1, s
+
+
+def test_repetition_scores_is_narrow_plan(spark):
+    """PLANS.md §repetition (r3): the Gopher metrics must stay a narrow
+    projection — zero exchanges, zero Python stages (repetition filtering
+    costs one scan at 100 TB, not two gram-keyed shuffles)."""
+    from graphrag_rs_spark.operators.text_analysis import repetition_scores
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    s = summarize(plan_of(repetition_scores(df)))
+    assert s["exchanges"] == 0, s
+    assert s["python_stages"] == 0, s
+
+
+def test_benchmark_contamination_broadcasts(spark):
+    """PLANS.md §contamination (r3): the benchmark gram set reaches the
+    corpus grams as a broadcast join (eval suites are small, the corpus
+    is not) and the only wide stage is the per-doc hit re-aggregation."""
+    from graphrag_rs_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i j k l m",)], "text string"
+    )
+    plan = plan_of(benchmark_contamination(docs, bench, n=13))
+    s = summarize(plan)
+    assert s["broadcast_joins"] >= 1 or "BroadcastExchange" in plan, s
+    # the totals⟕hits join keys two CORPUS-sized tables on doc_id — a
+    # shuffle join THERE is the correct scale shape, so only the
+    # benchmark-side broadcast is pinned, not total join strategy
+    assert s["python_stages"] == 0, s
+
+
+def test_clustering_coefficient_joins_only_no_python(spark):
+    """PLANS.md §clustering coefficient: triangle counting is hash joins
+    on edge keys + aggregation — no per-node adjacency collection, no
+    Python stage anywhere in the plan."""
+    from graphrag_rs_spark.operators.analytics import local_clustering
+
+    edges = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .select(
+            F.col("n_nationkey").cast("string").alias("subj"),
+            F.col("n_regionkey").cast("string").alias("obj"),
+        )
+    )
+    s = summarize(plan_of(local_clustering(edges, src="subj", dst="obj")))
+    assert s["python_stages"] == 0, s
+
+
+def test_candidate_pair_stage_broadcast_meta_no_sortmerge(extraction):
+    """PLANS.md §candidate pair generation: the scorer meta attaches to
+    the pair table via BroadcastHashJoins (shuffle-joining it would
+    re-exchange the stage's largest table twice); the stranded-probe
+    side may plan static SMJs that AQE converts at runtime."""
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.operators.canonicalize import (
+        candidate_pairs,
+        score_pairs,
+    )
+    from graphrag_rs_spark.operators.extraction import entities_raw_table
+
+    cfg = PipelineConfig()
+    er = entities_raw_table(extraction)
+    plan = plan_of(score_pairs(candidate_pairs(er, cfg), cfg))
+    s = summarize(plan)
+    assert s["broadcast_joins"] >= 2, s
+    # the stranded-probe joins may plan as static SortMergeJoin and get
+    # AQE-converted at runtime (PLANS.md note) — only the meta broadcast
+    # and a loose stage budget are pinned
+    assert s["exchanges"] <= 12, s

@@ -540,23 +540,6 @@ def test_repetition_scores_hand_checked(spark):
     assert rows[3]["top_2gram_char_frac"] > 0
 
 
-def test_repetition_scores_is_narrow_plan(spark):
-    """The operator must stay a narrow projection — zero exchanges, zero
-    Python stages (the 100-TB property: repetition filtering costs one
-    scan, not two gram-keyed shuffles)."""
-    import io, re
-    from contextlib import redirect_stdout
-    from graphrag_rs_spark.operators.text_analysis import repetition_scores
-
-    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        repetition_scores(df).explain("formatted")
-    plan = buf.getvalue()
-    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.MULTILINE)
-    assert "Exchange" not in ops
-    assert not any(o in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython") for o in ops)
-
 
 def test_benchmark_contamination_planted(spark):
     """A training doc embedding a verbatim benchmark sentence is flagged;
@@ -586,18 +569,3 @@ def test_benchmark_contamination_planted(spark):
     assert rows[3]["contaminated_grams"] == 0
 
 
-def test_benchmark_contamination_broadcasts(spark):
-    """The benchmark side must reach the corpus grams as a broadcast join
-    (the 100-TB shape: eval suites are small, the corpus is not)."""
-    import io, re
-    from contextlib import redirect_stdout
-    from graphrag_rs_spark.operators.dedup import benchmark_contamination
-
-    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l m n")],
-                                 "doc_id long, text string")
-    bench = spark.createDataFrame([("a b c d e f g h i j k l m",)], "text string")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        benchmark_contamination(docs, bench, n=13).explain("formatted")
-    plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
