@@ -58,6 +58,16 @@ def build_spark() -> SparkSession:
         if os.path.isdir("/dev/shm")
         else None
     )
+    # A/B-tunable knobs (scripts/diag_shuffle_configs.py sweeps these;
+    # defaults are the adopted best config — see BENCH.md §Shuffle-config
+    # A/B): shuffle codec trades compression CPU against tmpfs bytes (=
+    # memory-bus traffic, the single-box 4→16 ceiling), the shuffle file
+    # buffer batches flush syscalls, and the Arrow batch size amortizes
+    # Python-worker socket round-trips.
+    codec = os.environ.get("SPARK_GRAFT_CODEC", "lz4")
+    shuffle_buf = os.environ.get("SPARK_GRAFT_SHUFFLE_BUFFER", "32k")
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048")
+    parts_per_core = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PPC", "4"))
     builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("graphrag-rs-spark-bench")
@@ -65,11 +75,13 @@ def build_spark() -> SparkSession:
         # exchanges back down, while the big ones (the 40M-row edge
         # dedupe) keep per-task group counts inside the hash-agg map
         # threshold and skew smears across more, smaller tasks
-        .config("spark.sql.shuffle.partitions", str(CPUS * 4))
+        .config("spark.sql.shuffle.partitions", str(CPUS * parts_per_core))
         .config("spark.default.parallelism", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
+        .config("spark.io.compression.codec", codec)
+        .config("spark.shuffle.file.buffer", shuffle_buf)
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
     )
@@ -223,7 +235,14 @@ def _bench_settings(kg_only: bool) -> dict:
         "spark_local_dir": (
             "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else "default"
         ),
-        "shuffle_partitions": CPUS * 4,
+        "shuffle_partitions": (
+            CPUS * int(os.environ.get("SPARK_GRAFT_SHUFFLE_PPC", "4"))
+        ),
+        "io_codec": os.environ.get("SPARK_GRAFT_CODEC", "lz4"),
+        "shuffle_file_buffer": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_BUFFER", "32k"
+        ),
+        "arrow_batch": os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
         "min_shared_blocks": 2,
         "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
         "sweep_reps": 2,

@@ -159,6 +159,15 @@ class PipelineConfig:
     # evenly-sized tasks (mega-conversation skew is spread too). 0 disables.
     extraction_partitions_per_core: int = 4
 
+    # --- LLM endpoint (ollama/mod.rs:32-46 defaults; used when
+    # extraction_mode is semantic/hybrid and no client_factory is passed
+    # to build_graph — the config-file-only route to the live path) ---
+    ollama_enabled: bool = False
+    ollama_base_url: str = "http://localhost:11434"
+    ollama_model: str = "llama3.2:3b"
+    ollama_timeout_seconds: float = 30.0
+    ollama_max_retries: int = 3
+
     # extra entity types routed to the generic extractor
     extra_entity_types: tuple[str, ...] = field(default=())
 

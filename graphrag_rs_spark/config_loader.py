@@ -137,6 +137,11 @@ def _parse_file(path: str) -> dict:
 _KEY_MAP: dict[tuple[str, str], str] = {
     # [mode].approach (setconfig.rs:614-621 → config.approach:1735)
     ("mode", "approach"): "extraction_mode",
+    # [ollama] endpoint (ollama/mod.rs:9-46; host+port compose below)
+    ("ollama", "enabled"): "ollama_enabled",
+    ("ollama", "chat_model"): "ollama_model",
+    ("ollama", "timeout_seconds"): "ollama_timeout_seconds",
+    ("ollama", "max_retries"): "ollama_max_retries",
     ("text_processing", "chunk_size"): "chunk_size",
     ("text_processing", "chunk_overlap"): "chunk_overlap",
     ("text_processing", "min_chunk_size"): "min_chunk_size",
@@ -202,6 +207,14 @@ def config_from_dict(raw: dict) -> PipelineConfig:
                 # in Spark that's "leave the session/AQE default" — keep ours
                 continue
             updates[target] = value
+    ollama = raw.get("ollama", {})
+    if isinstance(ollama, dict) and ("host" in ollama or "port" in ollama):
+        # the reference config keeps host ("http://localhost") and port
+        # (11434) separate and composes "{host}:{port}" at call time
+        # (ollama/mod.rs:72) — compose once here into the base URL
+        host = str(ollama.get("host", "http://localhost")).rstrip("/")
+        port = ollama.get("port", 11434)
+        updates["ollama_base_url"] = f"{host}:{port}"
     mode = updates.get("extraction_mode")
     if mode is not None and mode not in ("algorithmic", "semantic", "hybrid"):
         # setconfig.rs:1789-1793: unknown approach falls back to the

@@ -96,6 +96,27 @@ def build_graph(
         )
         chunks = chunks.repartition(n_extract)
 
+    if (
+        client_factory is None
+        and config.extraction_mode in ("semantic", "hybrid")
+        and config.ollama_enabled
+    ):
+        # config-file-only route to the live path (the reference's
+        # `use_gleaning && ollama.enabled` gate builds an OllamaClient
+        # from config the same way, lib.rs:383-399)
+        from graphrag_rs_spark.operators.llm_client import OllamaHttpClient
+
+        base_url, model = config.ollama_base_url, config.ollama_model
+        timeout, retries = (
+            config.ollama_timeout_seconds, config.ollama_max_retries,
+        )
+
+        def client_factory():  # noqa: F811 — deliberate rebind
+            return OllamaHttpClient(
+                base_url=base_url, model=model,
+                timeout_seconds=timeout, max_retries=retries,
+            )
+
     llm_mode = (
         config.extraction_mode in ("semantic", "hybrid")
         and client_factory is not None
