@@ -82,6 +82,21 @@ def build_spark() -> SparkSession:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
         .config("spark.io.compression.codec", codec)
         .config("spark.shuffle.file.buffer", shuffle_buf)
+        # Shuffle compression OFF by default on this bench: shuffle dirs
+        # live on tmpfs, so writes are memory copies and lz4's CPU work
+        # buys nothing back — measured 1.22x end-to-end at 16 pinned
+        # cores (BENCH.md §Shuffle-config A/B; zstd was 0.83x, i.e. CPU
+        # binds, not bytes). A real cluster shuffling over NIC/disk
+        # should keep compression on (set SPARK_GRAFT_SHUFFLE_COMPRESS=
+        # true) — there the byte stream crosses a genuinely slower pipe.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
     )
@@ -243,6 +258,7 @@ def _bench_settings(kg_only: bool) -> dict:
             "SPARK_GRAFT_SHUFFLE_BUFFER", "32k"
         ),
         "arrow_batch": os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        "shuffle_compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
         "min_shared_blocks": 2,
         "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
         "sweep_reps": 2,

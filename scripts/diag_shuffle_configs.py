@@ -41,7 +41,15 @@ CONFIGS: list[tuple[str, dict[str, str]]] = [
         "SPARK_GRAFT_SHUFFLE_BUFFER": "1m",
         "SPARK_GRAFT_ARROW_BATCH": "8192",
     }),
+    ("no shuffle compression", {"SPARK_GRAFT_SHUFFLE_COMPRESS": "false"}),
 ]
+
+# Focused subset via SPARK_GRAFT_AB_ONLY="baseline,no shuffle" (comma
+# separated substring match) — reruns don't have to pay the full grid.
+_only = __import__("os").environ.get("SPARK_GRAFT_AB_ONLY")
+if _only:
+    keys = [k.strip().lower() for k in _only.split(",")]
+    CONFIGS = [c for c in CONFIGS if any(k in c[0].lower() for k in keys)]
 
 
 def run_leg(cpus: int, extra_env: dict[str, str]) -> dict:
@@ -75,7 +83,7 @@ def main() -> None:
             if not res:
                 continue
             kg = res["kg"]
-            print(f"rep{r} [{name}]: build={kg['build_sec']:.1f}s "
+            print(f"rep{r} [{name}]: build={kg['kg_build_sec']:.1f}s "
                   f"thr={kg['triples_per_sec']:.0f}/s", file=sys.stderr)
             if (name not in best
                     or kg["triples_per_sec"]
@@ -94,7 +102,7 @@ def main() -> None:
         kg = best[name]
         rel = (f"{kg['triples_per_sec'] / base:.2f}x"
                if base else "—")
-        print(f"| {name} | {kg['build_sec']:.1f} s "
+        print(f"| {name} | {kg['kg_build_sec']:.1f} s "
               f"| {kg['triples_per_sec']:.0f} | {rel} |")
 
 
