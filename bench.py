@@ -82,20 +82,28 @@ def build_spark() -> SparkSession:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
         .config("spark.io.compression.codec", codec)
         .config("spark.shuffle.file.buffer", shuffle_buf)
-        # Shuffle compression OFF by default on this bench: shuffle dirs
-        # live on tmpfs, so writes are memory copies and lz4's CPU work
-        # buys nothing back — measured 1.22x end-to-end at 16 pinned
-        # cores (BENCH.md §Shuffle-config A/B; zstd was 0.83x, i.e. CPU
-        # binds, not bytes). A real cluster shuffling over NIC/disk
-        # should keep compression on (set SPARK_GRAFT_SHUFFLE_COMPRESS=
-        # true) — there the byte stream crosses a genuinely slower pipe.
+        # Shuffle compression OFF by default ONLY when shuffle dirs live
+        # on tmpfs (same /dev/shm check as spark.local.dir above): there
+        # writes are memory copies and lz4's CPU work buys nothing back —
+        # measured 1.22x end-to-end at 16 pinned cores (BENCH.md
+        # §Shuffle-config A/B; zstd was 0.83x, i.e. CPU binds, not
+        # bytes). When /dev/shm is absent and shuffle falls back to real
+        # disk, the byte stream crosses a genuinely slower pipe and
+        # compression defaults back ON. SPARK_GRAFT_SHUFFLE_COMPRESS
+        # overrides either way.
         .config(
             "spark.shuffle.compress",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_COMPRESS",
+                "false" if local_dir else "true",
+            ),
         )
         .config(
             "spark.shuffle.spill.compress",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_COMPRESS",
+                "false" if local_dir else "true",
+            ),
         )
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
@@ -258,7 +266,10 @@ def _bench_settings(kg_only: bool) -> dict:
             "SPARK_GRAFT_SHUFFLE_BUFFER", "32k"
         ),
         "arrow_batch": os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
-        "shuffle_compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        "shuffle_compress": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_COMPRESS",
+            "false" if os.path.isdir("/dev/shm") else "true",
+        ),
         "min_shared_blocks": 2,
         "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
         "sweep_reps": 2,

@@ -231,6 +231,37 @@ def config_from_dict(raw: dict) -> PipelineConfig:
                 updates["max_gleaning_rounds"] = 3
         else:
             updates["max_gleaning_rounds"] = 1
+    # Per-approach sections override the top-level mapping
+    # (setconfig.rs:1755-1787). In the reference a [semantic]/[algorithmic]
+    # section is only deserializable WITH its entity_extraction sub-table
+    # (SemanticPipelineConfig:643 / AlgorithmicPipelineConfig:764 carry no
+    # serde default), so the override applies exactly when that sub-table
+    # exists; missing sub-keys take the struct's serde defaults
+    # (use_gleaning=true, max_gleaning_rounds=3, confidence 0.7 semantic /
+    # 0.75 algorithmic — setconfig.rs:1215-1222,1262-1264).
+    if mode == "semantic":
+        sec = raw.get("semantic")
+        ee = sec.get("entity_extraction") if isinstance(sec, dict) else None
+        if isinstance(ee, dict):
+            updates["min_confidence"] = float(
+                ee.get("confidence_threshold", 0.7)
+            )
+            updates["max_gleaning_rounds"] = (
+                int(ee.get("max_gleaning_rounds", 3))
+                if ee.get("use_gleaning", True)
+                else 1  # lib.rs:383: gleaning off pins rounds to 1
+            )
+    elif mode == "algorithmic":
+        sec = raw.get("algorithmic")
+        ee = sec.get("entity_extraction") if isinstance(sec, dict) else None
+        if isinstance(ee, dict):
+            updates["min_confidence"] = float(
+                ee.get("confidence_threshold", 0.75)
+            )
+    elif mode == "hybrid" and isinstance(raw.get("hybrid"), dict):
+        # setconfig.rs:1784-1787: any [hybrid] section forces
+        # max_gleaning_rounds=2 ("reduced for hybrid efficiency")
+        updates["max_gleaning_rounds"] = 2
     try:
         return replace(PipelineConfig(), **updates)
     except TypeError as e:

@@ -97,7 +97,15 @@ class OllamaHttpClient:
                         f"invalid Ollama response format: {payload!r}"
                     )
                 return text
-            except ValueError:
+            except (json.JSONDecodeError, ValueError):
+                # DELIBERATELY non-retryable, both arms: the wrong-shape
+                # ValueError above (mod.rs:109-114) AND a garbled/truncated
+                # body failing json.loads — the reference's `?` on
+                # serde_json parse failure returns immediately without
+                # retrying too (mod.rs:103-107). JSONDecodeError is a
+                # ValueError subclass; it is named explicitly so the
+                # no-retry-on-parse-error path reads as parity, not
+                # accident.
                 raise
             except Exception as e:  # noqa: BLE001 — transport-level fault
                 last_err = e

@@ -31,17 +31,27 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# bench.py's adopted default on tmpfs is shuffle-compression OFF, so both
+# sides of the compression trade are pinned EXPLICITLY here: the baseline
+# leg forces compression ON (the pre-adoption config this grid originally
+# measured against) and the last leg forces it OFF (the adopted default).
 CONFIGS: list[tuple[str, dict[str, str]]] = [
-    ("baseline (lz4, 32k, arrow2048, ppc4)", {}),
-    ("zstd codec", {"SPARK_GRAFT_CODEC": "zstd"}),
-    ("1m shuffle buffer", {"SPARK_GRAFT_SHUFFLE_BUFFER": "1m"}),
-    ("arrow batch 8192", {"SPARK_GRAFT_ARROW_BATCH": "8192"}),
+    ("baseline (lz4 shuffle-compress ON, 32k, arrow2048, ppc4)",
+     {"SPARK_GRAFT_SHUFFLE_COMPRESS": "true"}),
+    ("zstd codec", {"SPARK_GRAFT_CODEC": "zstd",
+                    "SPARK_GRAFT_SHUFFLE_COMPRESS": "true"}),
+    ("1m shuffle buffer", {"SPARK_GRAFT_SHUFFLE_BUFFER": "1m",
+                           "SPARK_GRAFT_SHUFFLE_COMPRESS": "true"}),
+    ("arrow batch 8192", {"SPARK_GRAFT_ARROW_BATCH": "8192",
+                          "SPARK_GRAFT_SHUFFLE_COMPRESS": "true"}),
     ("zstd + 1m buffer + arrow8192", {
         "SPARK_GRAFT_CODEC": "zstd",
         "SPARK_GRAFT_SHUFFLE_BUFFER": "1m",
         "SPARK_GRAFT_ARROW_BATCH": "8192",
+        "SPARK_GRAFT_SHUFFLE_COMPRESS": "true",
     }),
-    ("no shuffle compression", {"SPARK_GRAFT_SHUFFLE_COMPRESS": "false"}),
+    ("no shuffle compression (adopted tmpfs default)",
+     {"SPARK_GRAFT_SHUFFLE_COMPRESS": "false"}),
 ]
 
 # Focused subset via SPARK_GRAFT_AB_ONLY="baseline,no shuffle" (comma

@@ -99,6 +99,57 @@ def test_semantic_mode_forces_gleaning_on(tmp_path):
     assert load_config(str(cfg2)).max_gleaning_rounds == 1
 
 
+def test_approach_sections_override_top_level(tmp_path):
+    """setconfig.rs:1755-1787: [semantic]/[algorithmic]/[hybrid] sections
+    override the top-level entity_extraction mapping when present."""
+    sem = tmp_path / "sem_sec.toml"
+    sem.write_text(
+        '[mode]\napproach = "semantic"\n'
+        "[entity_extraction]\nmin_confidence = 0.5\nmax_gleaning_rounds = 9\n"
+        "[semantic.entity_extraction]\n"
+        "use_gleaning = true\nmax_gleaning_rounds = 4\n"
+        "confidence_threshold = 0.65\n"
+    )
+    loaded = load_config(str(sem))
+    assert loaded.max_gleaning_rounds == 4
+    assert loaded.min_confidence == 0.65
+
+    # section with use_gleaning=false pins rounds to 1 (lib.rs:383 mapping);
+    # missing confidence_threshold takes the serde default 0.7
+    sem_off = tmp_path / "sem_off.toml"
+    sem_off.write_text(
+        '[mode]\napproach = "semantic"\n'
+        "[semantic.entity_extraction]\nuse_gleaning = false\n"
+    )
+    loaded = load_config(str(sem_off))
+    assert loaded.max_gleaning_rounds == 1
+    assert loaded.min_confidence == 0.7
+
+    alg = tmp_path / "alg_sec.toml"
+    alg.write_text(
+        '[mode]\napproach = "algorithmic"\n'
+        "[entity_extraction]\nmin_confidence = 0.5\n"
+        "[algorithmic.entity_extraction]\nconfidence_threshold = 0.8\n"
+    )
+    assert load_config(str(alg)).min_confidence == 0.8
+
+    # any [hybrid] section forces rounds=2 (setconfig.rs:1784-1787)
+    hyb = tmp_path / "hyb_sec.toml"
+    hyb.write_text(
+        '[mode]\napproach = "hybrid"\n'
+        "[entity_extraction]\nmax_gleaning_rounds = 7\n"
+        "[hybrid]\nenabled = true\n"
+    )
+    assert load_config(str(hyb)).max_gleaning_rounds == 2
+    # ... but without the section, top-level rounds stand
+    hyb2 = tmp_path / "hyb_nosec.toml"
+    hyb2.write_text(
+        '[mode]\napproach = "hybrid"\n'
+        "[entity_extraction]\nmax_gleaning_rounds = 7\n"
+    )
+    assert load_config(str(hyb2)).max_gleaning_rounds == 7
+
+
 def test_build_graph_rejects_unknown_mode(spark):
     transcripts = spark.createDataFrame(TURNS, TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError, match="extraction_mode"):
