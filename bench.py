@@ -216,38 +216,56 @@ def bench_kg(spark: SparkSession, sf: float, reps: int = KG_REPS) -> dict:
     }
 
 
-def bench_queries(spark: SparkSession, reps: int = 2) -> dict[str, float]:
-    """Per-operator sweep: best-of-``reps`` wall time per queries() entry,
+SWEEP_REPS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "3"))
+
+
+def bench_queries(
+    spark: SparkSession, reps: int = SWEEP_REPS
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-operator sweep over ``reps`` timed runs per queries() entry,
     with the SQL cache cleared and a JVM GC between entries so one query's
     residue (cached stages, GC pressure) cannot contaminate the next.
+    Returns (best, median) per query: best is the least-contaminated
+    estimate on this noisy host (interference only ever slows a leg);
+    median is the variance band that makes a real regression mechanically
+    distinguishable from an unlucky draw — a query whose MEDIAN moved is
+    slower, a query whose best moved inside the band is noise.
     In-process memo caches (_KG_MEMO) persist across reps by design — the
-    first rep pays any shared pipeline build, the best-of reflects the
-    operator itself; ``reps`` is recorded in the output JSON."""
+    first rep pays any shared pipeline build, so the median is taken over
+    the reps AFTER the first when reps >= 3 (the build-paying rep would
+    otherwise skew the band); ``reps`` is recorded in the output JSON."""
     import gc
+    import statistics
 
     import __spark_entry__ as entry_mod
 
-    out: dict[str, float] = {}
+    best_out: dict[str, float] = {}
+    med_out: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        best = None
+        walls: list[float] = []
+        failed = False
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
+                walls.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001
                 print(f"bench query {name} failed: {e}", file=sys.stderr)
-                best = -1.0
+                failed = True
                 break
-        out[name] = round(best, 3)
+        if failed or not walls:
+            best_out[name] = med_out[name] = -1.0
+        else:
+            best_out[name] = round(min(walls), 3)
+            steady = walls[1:] if len(walls) >= 3 else walls
+            med_out[name] = round(statistics.median(steady), 3)
         spark.catalog.clearCache()
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         except Exception:  # noqa: BLE001
             pass
-    return out
+    return best_out, med_out
 
 
 def _bench_settings(kg_only: bool) -> dict:
@@ -272,8 +290,8 @@ def _bench_settings(kg_only: bool) -> dict:
         ),
         "min_shared_blocks": 2,
         "sweep_isolation": "kg-only" if kg_only else "fresh subprocess session",
-        "sweep_reps": 2,
-        "sweep_agg": "min",
+        "sweep_reps": SWEEP_REPS,
+        "sweep_agg": "min (queries) + median-of-steady-reps (queries_median)",
         "kg_build_reps": (
             1 if (kg_only and "SPARK_GRAFT_KG_REPS" not in os.environ)
             else KG_REPS
@@ -292,7 +310,8 @@ def main() -> None:
         # heavy kg_build's session residue — cached stages, GC state, JIT
         # deopt — cannot contaminate per-operator timings)
         spark = build_spark()
-        print(json.dumps({"queries": bench_queries(spark)}))
+        best, med = bench_queries(spark)
+        print(json.dumps({"queries": best, "queries_median": med}))
         spark.stop()
         return
 
@@ -303,6 +322,11 @@ def main() -> None:
     reps = 1 if (kg_only and "SPARK_GRAFT_KG_REPS" not in os.environ) else KG_REPS
     kg = bench_kg(spark, sf, reps=reps)
     queries: dict[str, float] = {"kg_build": kg["kg_build_sec"]}
+    import statistics
+
+    queries_median: dict[str, float] = {
+        "kg_build": round(statistics.median(kg["kg_build_walls"]), 3)
+    }
     spark.stop()
 
     if not kg_only:
@@ -316,7 +340,9 @@ def main() -> None:
         )
         line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
         try:
-            queries.update(json.loads(line).get("queries", {}))
+            payload = json.loads(line)
+            queries.update(payload.get("queries", {}))
+            queries_median.update(payload.get("queries_median", {}))
         except json.JSONDecodeError:
             print(f"queries-only subprocess failed: {proc.stderr[-2000:]}",
                   file=sys.stderr)
@@ -326,6 +352,7 @@ def main() -> None:
         "value": kg["triples_per_sec"],
         "unit": "triples/sec",
         "queries": queries,
+        "queries_median": queries_median,
         "sf": sf,
         "cpus": CPUS,
         "kg": kg,

@@ -159,14 +159,22 @@ class ScaledVocab:
     work no real corpus would generate."""
 
     def __init__(self, n_persons: int, n_orgs: int, skew_pow: float = 3.0,
-                 near_dup_rate: float = 0.15, n_variants: int = 4):
+                 near_dup_rate: float = 0.15, n_variants: int = 4,
+                 hub_rate: float = 0.0):
         self.n_persons = max(1, n_persons)
         self.n_orgs = max(1, n_orgs)
         self.skew_pow = skew_pow
         self.near_dup_rate = near_dup_rate
         self.n_variants = max(1, n_variants)
+        # SURVEY §7.4 hard part 3 stress knob: probability that a draw
+        # short-circuits to identity 0 regardless of the Zipf tail —
+        # hub_rate=0.1 plants a single entity carrying ~10% of ALL
+        # mentions (the Zipf skew alone tops out around 3%)
+        self.hub_rate = hub_rate
 
     def _draw(self, rng: random.Random, n: int) -> int:
+        if self.hub_rate and rng.random() < self.hub_rate:
+            return 0
         return int(n * (rng.random() ** self.skew_pow))
 
     def _variant(self, name: str, idx: int, rng: random.Random) -> str:
@@ -230,17 +238,24 @@ def _turn_text(rng: random.Random, vocab: ScaledVocab | None = None) -> str:
 
 def generate_conversation(conv_index: int, seed: int = 42, mega_every: int = 50,
                           mega_turns: int = 200,
-                          vocab: ScaledVocab | None = None) -> list[dict]:
+                          vocab: ScaledVocab | None = None,
+                          extreme_skew: bool = False) -> list[dict]:
     """All turns of one conversation — deterministic in (seed, conv_index).
 
     Every ``mega_every``-th conversation is a "mega conversation" with
     ``mega_turns`` turns (Zipf-ish skew per FIXTURES.md §1) to exercise the
     skew handling paths. ``vocab`` switches entity plants from the fixed
     43-name dictionary to the procedural scaled vocabulary (bench path).
+    ``extreme_skew`` additionally turns every 2500th conversation into a
+    1,150-turn giant — 100× the ~11.5-turn median, the SURVEY §7.4 hard
+    part 3 stress shape (pair with ``ScaledVocab(hub_rate=0.1)`` for the
+    10%-frequency hub entity).
     """
     rng = random.Random((seed << 20) ^ conv_index)
     conv_id = f"conv{conv_index:08d}"
-    if mega_every and conv_index % mega_every == 0:
+    if extreme_skew and conv_index % 2500 == 0:
+        n_turns = 1150
+    elif mega_every and conv_index % mega_every == 0:
         n_turns = mega_turns
     else:
         n_turns = rng.randint(3, 20)

@@ -469,8 +469,12 @@ def score_pairs(pairs: DataFrame, config: PipelineConfig | None = None) -> DataF
 def _greedy_replay_cogroup(
     members_pdf: "pd.DataFrame", edges_pdf: "pd.DataFrame"
 ) -> "pd.DataFrame":
-    """Per-component greedy clustering replayed over the SCORED MATCH EDGES
-    (linker rs:79-103 semantics).
+    """Greedy clustering replayed over the SCORED MATCH EDGES
+    (linker rs:79-103 semantics) for a UNION of connected components —
+    the caller cogroups by a hash bucket of the component id; since match
+    edges never cross components, every array below decomposes blockwise
+    by component and the bucket-level answer equals the per-component
+    answers exactly.
 
     The reference's greedy scan asks one question per (seed, later entity)
     pair: is sim ≥ threshold? The scoring stage already answered it for
@@ -503,11 +507,7 @@ def _greedy_replay_cogroup(
     confs = members_pdf["confidence"].to_numpy()
 
     # scan order: (conv_id, chunk_idx, rank, entity_id) — np.lexsort keys
-    # are LAST-key-primary. The giant component runs in ONE task (the
-    # walk is order-sequential by construction), so this body is
-    # vectorized: CSR adjacency + integer positions replace the previous
-    # dict-of-lists + per-seed sorted() — identical output, ~an order of
-    # magnitude less serial Python on 10^5-member components.
+    # are LAST-key-primary
     order = np.lexsort(
         (
             ids,
@@ -523,47 +523,144 @@ def _greedy_replay_cogroup(
     confs_by_pos = confs[order]
     row_by_id = pd.Series(pos_of_row, index=ids)
 
-    # CSR adjacency over scan positions, neighbor lists pre-sorted by
-    # (src position, neighbor position) — one global lexsort replaces the
-    # per-seed sorted(..., key=pos.__getitem__)
+    # The walk's outcome admits a closed characterization (the r4 serial
+    # scan and this computation are proven pointwise equal, see below):
+    #
+    #   seed(q)   ⇔  q has NO seed neighbor earlier in scan order
+    #   cluster(q) = q if seed(q), else the MIN-position earlier seed
+    #                neighbor of q (the first seed whose scan turn
+    #                reaches q absorbs it)
+    #
+    # Proof by induction over scan positions. If the walk reaches p
+    # unclustered, p seeds and absorbs every unclustered neighbor; any
+    # earlier neighbor r<p must already be clustered (else r would have
+    # seeded at its own turn and absorbed p — contradiction), so
+    # absorption only happens seed→later-neighbor, and a node q is
+    # clustered before its own turn iff some earlier neighbor seeded —
+    # the earliest such seed got there first. Hence the seed set is the
+    # lexicographically-first maximal independent set under scan order,
+    # and the per-position scan can be replaced by FRONTIER-SYNCHRONOUS
+    # rounds over the dependency DAG (edges point earlier→later): a node
+    # decides once all its earlier neighbors have decided; min-seed and
+    # undecided-earlier-neighbor counts propagate along decided edges.
+    # Each edge is touched O(1) times across all rounds, so total work is
+    # O(E + V) in vectorized numpy instead of a V-iteration Python loop —
+    # the giant component's replay stops being the Amdahl floor of the
+    # whole build (the serial scan cost ~38 s at 100k convs; this is the
+    # same answer in ~1 s, pinned equal by
+    # tests/test_graph_primitives.py::test_greedy_replay_matches_serial_walk).
+    # Pathological orders (a scan-ordered path has dependency depth V)
+    # keep a per-round frontier of O(1) and would pay Python loop
+    # overhead per round, so after MAX_ROUNDS the remainder falls back to
+    # a sequential pass over the same CSR in scan order — still O(E),
+    # never worse than the r4 walk.
     if len(edges_pdf):
         u = edges_pdf["id1"].map(row_by_id).to_numpy(dtype=np.int64)
         v = edges_pdf["id2"].map(row_by_id).to_numpy(dtype=np.int64)
-        src = np.concatenate([u, v])
-        dst = np.concatenate([v, u])
-        e_order = np.lexsort((dst, src))
-        src = src[e_order]
-        dst = dst[e_order]
-        offsets = np.searchsorted(src, np.arange(n + 1))
+        dep_src = np.minimum(u, v)  # earlier endpoint
+        dep_dst = np.maximum(u, v)  # later endpoint (the dependent)
+        # CSR by source (for frontier propagation), targets sorted within
+        e_order = np.lexsort((dep_dst, dep_src))
+        dep_src = dep_src[e_order]
+        dep_dst = dep_dst[e_order]
+        src_off = np.searchsorted(dep_src, np.arange(n + 1))
+        # earlier-neighbor count per node (multi-edges count consistently
+        # on both the init and the decrement side)
+        cnt = np.bincount(dep_dst, minlength=n)
+        # CSR by TARGET for the sequential fallback: each node's earlier
+        # neighbors, ascending — the first seed hit while scanning is the
+        # min-position one
+        f_order = np.lexsort((dep_src, dep_dst))
+        tgt_srt = dep_dst[f_order]
+        nbr_srt = dep_src[f_order]
+        tgt_off = np.searchsorted(tgt_srt, np.arange(n + 1))
     else:
-        dst = np.empty(0, dtype=np.int64)
-        offsets = np.zeros(n + 1, dtype=np.int64)
+        dep_src = dep_dst = np.empty(0, dtype=np.int64)
+        src_off = np.zeros(n + 1, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        nbr_srt = np.empty(0, dtype=np.int64)
+        tgt_off = np.zeros(n + 1, dtype=np.int64)
 
-    out_entity: list[str] = []
-    out_cluster: list[str] = []
-    clustered = np.zeros(n, dtype=bool)
-    for p in range(n):
-        if clustered[p]:
+    SENTINEL = n
+    MAX_ROUNDS = 512
+    seed = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    min_seed = np.full(n, SENTINEL, dtype=np.int64)
+    frontier = np.flatnonzero(cnt == 0)
+    rounds = 0
+    while frontier.size and rounds < MAX_ROUNDS:
+        rounds += 1
+        # decide the frontier: every earlier neighbor has decided, so
+        # min_seed is final — SENTINEL means "no earlier seed neighbor"
+        is_seed = min_seed[frontier] == SENTINEL
+        seed[frontier[is_seed]] = True
+        decided[frontier] = True
+        # propagate along the frontier's outgoing dependency edges
+        starts = src_off[frontier]
+        lens = src_off[frontier + 1] - starts
+        total = int(lens.sum())
+        if not total:
+            frontier = np.empty(0, dtype=np.int64)
             continue
-        nbs = dst[offsets[p] : offsets[p + 1]]
-        fresh = nbs[~clustered[nbs]]
-        clustered[p] = True
-        if len(fresh):
-            # a neighbor can repeat (multi-edges collapse upstream, but
-            # stay safe): preserve first occurrence in position order
-            fresh = pd.unique(fresh)
-            clustered[fresh] = True
-            cluster_pos = np.concatenate(([p], fresh))
-        else:
-            cluster_pos = np.array([p], dtype=np.int64)
-        c_ids = ids_by_pos[cluster_pos]
-        c_confs = confs_by_pos[cluster_pos]
-        # canonical: max by (confidence, entity_id) — reference max_by
-        best = np.flatnonzero(c_confs == c_confs.max())
-        canon = max(c_ids[best])
-        out_entity.extend(c_ids)
-        out_cluster.extend([canon] * len(c_ids))
-    return pd.DataFrame({"entity_id": out_entity, "cluster_id": out_cluster})
+        # vectorized multi-range gather of the frontier's edge slices
+        idx = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        srcs = dep_src[idx]
+        tgts = dep_dst[idx]
+        contrib = seed[srcs]
+        if contrib.any():
+            np.minimum.at(min_seed, tgts[contrib], srcs[contrib])
+        np.subtract.at(cnt, tgts, 1)
+        newly = tgts[cnt[tgts] == 0]
+        frontier = np.unique(newly[~decided[newly]])
+
+    if not decided.all():
+        # sequential O(remaining E) finish in scan order: every earlier
+        # neighbor of q is decided by the time the loop reaches q
+        nbr_l = nbr_srt.tolist()
+        off_l = tgt_off.tolist()
+        seed_l = seed.tolist()
+        decided_l = decided.tolist()
+        min_l = min_seed.tolist()
+        for q in range(n):
+            if decided_l[q]:
+                continue
+            # min_l[q] only saw seeds decided during the FRONTIER phase
+            # (loop-decided seeds never ran minimum.at), so always scan
+            # the ascending earlier-neighbor list below the current best
+            best = min_l[q]
+            for p in nbr_l[off_l[q] : off_l[q + 1]]:
+                if p >= best:
+                    break  # ascending → nothing below best remains
+                if seed_l[p]:
+                    best = p  # first seed hit below best IS the min
+                    break
+            if best == SENTINEL:
+                seed_l[q] = True
+            else:
+                min_l[q] = best
+            decided_l[q] = True
+        seed = np.asarray(seed_l, dtype=bool)
+        min_seed = np.asarray(min_l, dtype=np.int64)
+
+    root = np.where(seed, np.arange(n), min_seed)
+    # canonical per cluster: max by (confidence, entity_id) — reference
+    # max_by (string_similarity_linker.rs:106-124)
+    assign = pd.DataFrame(
+        {"root": root, "conf": confs_by_pos, "id": ids_by_pos}
+    )
+    canon_by_root = (
+        assign.sort_values(["root", "conf", "id"])
+        .groupby("root", sort=False)["id"]
+        .last()
+    )
+    return pd.DataFrame(
+        {
+            "entity_id": ids_by_pos,
+            "cluster_id": canon_by_root.loc[root].to_numpy(),
+        }
+    )
 
 
 def canonicalize_entities(
@@ -590,24 +687,41 @@ def canonicalize_entities(
 
     # only component members go through the greedy replay (tiny minority);
     # the replay consumes the scored match edges, so members carry only the
-    # scan-order fields + confidence — no name/type strings in the shuffle
+    # scan-order fields + confidence — no name/type strings in the shuffle.
+    #
+    # Cogroup key is a HASH BUCKET of the component, not the component
+    # itself: the replay's frontier computation is purely edge-local and
+    # components are edge-disjoint, so running it over a UNION of
+    # components yields exactly the per-component answers (no edge ever
+    # crosses components, so no frontier/min-seed state can either) —
+    # formally, every array in _greedy_replay_cogroup decomposes blockwise
+    # by component. Grouping per-component instead paid the Arrow
+    # slice + pandas-construction + UDF-dispatch overhead once per
+    # component — tens of thousands of sub-millisecond groups at 100k
+    # convs, the real bulk of the old "serial replay" wall (the giant
+    # component's walk itself is ~1 s vectorized). Buckets cap the group
+    # count at ~4 per shuffle partition while keeping every component
+    # intact inside one group; the giant component's bucket is the
+    # longest task, bounded by the O(E+V) frontier walk.
+    n_buckets = max(16, config.shuffle_partitions * 4)
+    bucket = F.pmod(F.xxhash64("component"), F.lit(n_buckets))
     members = entities.join(cc, entities["entity_id"] == cc["id"]).select(
         "entity_id",
         "confidence",
         F.col("order_key.conv_id").alias("conv_id"),
         F.col("order_key.chunk_idx").alias("chunk_idx"),
         F.col("order_key.rank").alias("rank"),
-        "component",
+        bucket.alias("bucket"),
     )
     # NB: the edge side re-aliases the grouping key — both sides descend
     # from the same `cc` plan, and cogrouping two children that share the
-    # raw `component` attribute trips Spark's ambiguous-self-join check
+    # raw bucket attribute trips Spark's ambiguous-self-join check
     match_edges = matches.join(
         cc.select(F.col("id").alias("id1"), "component"), "id1"
-    ).select(F.col("component").alias("ecomponent"), "id1", "id2")
+    ).select(bucket.alias("ebucket"), "id1", "id2")
     assigned = (
-        members.groupBy("component")
-        .cogroup(match_edges.groupBy("ecomponent"))
+        members.groupBy("bucket")
+        .cogroup(match_edges.groupBy("ebucket"))
         .applyInPandas(
             lambda left, right: _greedy_replay_cogroup(left, right),
             schema=CLUSTER_ASSIGN_SCHEMA,

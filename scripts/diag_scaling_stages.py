@@ -106,20 +106,22 @@ def main():
     t0 = mark(f"C cc checkpoint ({cc.count()} rows)", t0)
 
     # ---- canonicalize tail, inlined from canonicalize_entities ----
+    n_buckets = max(16, cfg.shuffle_partitions * 4)
+    bucket = F.pmod(F.xxhash64("component"), F.lit(n_buckets))
     members = entities_raw.join(cc, entities_raw["entity_id"] == cc["id"]).select(
         "entity_id",
         "confidence",
         F.col("order_key.conv_id").alias("conv_id"),
         F.col("order_key.chunk_idx").alias("chunk_idx"),
         F.col("order_key.rank").alias("rank"),
-        "component",
+        bucket.alias("bucket"),
     )
     match_edges = matches.join(
         cc.select(F.col("id").alias("id1"), "component"), "id1"
-    ).select(F.col("component").alias("ecomponent"), "id1", "id2")
+    ).select(bucket.alias("ebucket"), "id1", "id2")
     assigned = (
-        members.groupBy("component")
-        .cogroup(match_edges.groupBy("ecomponent"))
+        members.groupBy("bucket")
+        .cogroup(match_edges.groupBy("ebucket"))
         .applyInPandas(
             lambda left, right: _greedy_replay_cogroup(left, right),
             schema=CLUSTER_ASSIGN_SCHEMA,

@@ -196,6 +196,148 @@ def test_greedy_replay_is_seed_local_not_transitive():
     assert got == {"A": "B", "B": "B", "C": "C"}
 
 
+def _serial_greedy_walk_reference(members_pdf, edges_pdf):
+    """The round-4 per-position serial scan, kept verbatim as the test
+    oracle for the frontier-synchronous rewrite: iterate scan positions;
+    an unclustered position seeds and absorbs its unclustered neighbors;
+    canonical is max by (confidence, entity_id)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(members_pdf)
+    ids = members_pdf["entity_id"].to_numpy()
+    confs = members_pdf["confidence"].to_numpy()
+    order = np.lexsort(
+        (
+            ids,
+            members_pdf["rank"].to_numpy(),
+            members_pdf["chunk_idx"].to_numpy(),
+            members_pdf["conv_id"].to_numpy(),
+        )
+    )
+    pos_of_row = np.empty(n, dtype=np.int64)
+    pos_of_row[order] = np.arange(n)
+    ids_by_pos = ids[order]
+    confs_by_pos = confs[order]
+    row_by_id = pd.Series(pos_of_row, index=ids)
+    if len(edges_pdf):
+        u = edges_pdf["id1"].map(row_by_id).to_numpy(dtype=np.int64)
+        v = edges_pdf["id2"].map(row_by_id).to_numpy(dtype=np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        e_order = np.lexsort((dst, src))
+        src = src[e_order]
+        dst = dst[e_order]
+        offsets = np.searchsorted(src, np.arange(n + 1))
+    else:
+        dst = np.empty(0, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+    out_entity, out_cluster = [], []
+    clustered = np.zeros(n, dtype=bool)
+    for p in range(n):
+        if clustered[p]:
+            continue
+        nbs = dst[offsets[p] : offsets[p + 1]]
+        fresh = nbs[~clustered[nbs]]
+        clustered[p] = True
+        if len(fresh):
+            fresh = pd.unique(fresh)
+            clustered[fresh] = True
+            cluster_pos = np.concatenate(([p], fresh))
+        else:
+            cluster_pos = np.array([p], dtype=np.int64)
+        c_ids = ids_by_pos[cluster_pos]
+        c_confs = confs_by_pos[cluster_pos]
+        best = np.flatnonzero(c_confs == c_confs.max())
+        canon = max(c_ids[best])
+        out_entity.extend(c_ids)
+        out_cluster.extend([canon] * len(c_ids))
+    return pd.DataFrame({"entity_id": out_entity, "cluster_id": out_cluster})
+
+
+def _random_replay_case(rng, n, n_edges, conv_buckets):
+    """Members with colliding scan keys + random multigraph edges."""
+    import pandas as pd
+
+    members = pd.DataFrame(
+        {
+            "entity_id": [f"E_{i:05d}" for i in range(n)],
+            "confidence": [round(rng.uniform(0.3, 1.0), 2) for _ in range(n)],
+            "conv_id": [f"c{rng.randrange(conv_buckets)}" for _ in range(n)],
+            "chunk_idx": [rng.randrange(3) for _ in range(n)],
+            "rank": [rng.randrange(4) for _ in range(n)],
+            "component": ["X"] * n,
+        }
+    )
+    id1, id2 = [], []
+    for _ in range(n_edges):
+        a, b = rng.sample(range(n), 2)
+        id1.append(f"E_{a:05d}")
+        id2.append(f"E_{b:05d}")
+    edges = pd.DataFrame({"component": "X", "id1": id1, "id2": id2})
+    return members, edges
+
+
+@pytest.mark.parametrize("seed,n,n_edges,conv_buckets", [
+    (1, 60, 90, 10),      # sparse, many singleton-ish pieces
+    (2, 60, 400, 10),     # dense hairball
+    (3, 200, 300, 5),     # heavy scan-key collisions (ties broken by id)
+    (4, 500, 2000, 50),   # mid-size multigraph with duplicate edges
+])
+def test_greedy_replay_matches_serial_walk(seed, n, n_edges, conv_buckets):
+    """The frontier-synchronous replay must be POINTWISE equal to the
+    round-4 serial scan (which itself carries the reference-parity
+    argument, string_similarity_linker.rs:79-124) on adversarial random
+    multigraphs."""
+    import random as _random
+
+    from graphrag_rs_spark.operators.canonicalize import _greedy_replay_cogroup
+
+    rng = _random.Random(seed)
+    members, edges = _random_replay_case(rng, n, n_edges, conv_buckets)
+    got = dict(zip(*(lambda o: (o["entity_id"], o["cluster_id"]))(
+        _greedy_replay_cogroup(members, edges))))
+    want = dict(zip(*(lambda o: (o["entity_id"], o["cluster_id"]))(
+        _serial_greedy_walk_reference(members, edges))))
+    assert got == want
+
+
+def test_greedy_replay_deep_path_hits_fallback_and_matches():
+    """A scan-ordered path of length 2000 has dependency depth 2000 >
+    MAX_ROUNDS(512): the sequential finish must produce the same answer
+    as the serial walk — including seeds decided INSIDE the fallback
+    absorbing later fallback nodes (the min_seed-contribution gap)."""
+    import pandas as pd
+
+    from graphrag_rs_spark.operators.canonicalize import _greedy_replay_cogroup
+
+    n = 2000
+    members = pd.DataFrame(
+        {
+            "entity_id": [f"P_{i:05d}" for i in range(n)],
+            "confidence": [0.5 + (i % 3) / 10.0 for i in range(n)],
+            "conv_id": [f"c{i:05d}" for i in range(n)],
+            "chunk_idx": [0] * n,
+            "rank": [0] * n,
+            "component": ["X"] * n,
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "component": "X",
+            "id1": [f"P_{i:05d}" for i in range(n - 1)],
+            "id2": [f"P_{i + 1:05d}" for i in range(n - 1)],
+        }
+    )
+    out = _greedy_replay_cogroup(members, edges)
+    want = _serial_greedy_walk_reference(members, edges)
+    assert dict(zip(out["entity_id"], out["cluster_id"])) == dict(
+        zip(want["entity_id"], want["cluster_id"])
+    )
+    # the path decomposes into pairs {0,1},{2,3},… — 1000 clusters
+    assert out["cluster_id"].nunique() == n // 2
+
+
 def test_greedy_replay_giant_component_is_linear_walk():
     """A giant component must complete as an O(E) adjacency walk with full
     member coverage — hub families merge with their satellites and no
