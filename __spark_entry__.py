@@ -297,6 +297,8 @@ def _ensure_twin_dump(sf_dir: str) -> str:
         "hybrid_search": tw.hybrid_search(sf_dir, _HYBRID_QUERY),
         "hipporag_retrieval": tw.hipporag_retrieval(sf_dir),
         "fallback_relations": tw.fallback_relations(out_dir),
+        "kg_gleaning": tw.gleaning_extraction(n_convs),
+        "hybrid_extraction": tw.hybrid_extraction(n_convs),
     }
     for name, pdf in dumps.items():
         pdf.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
@@ -427,6 +429,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_node_stats"] = kg_node_stats
+
+    # ---- r5 pipeline-path checks (VERDICT r4 items 3-4): the gleaning
+    # loop in deterministic pattern mode, streaming-ingest ≡ batch-rebuild,
+    # and a hybrid-mode build with a deterministic stub client ----
+    def _extraction_kind_rows(ext):
+        """EXTRACTION_SCHEMA table → kind-tagged rows: 'ent' rows carry
+        (rank, entity_id, name, type, confidence), 'tri' rows carry
+        (position, subj, pred, obj). -1.0 sentinel keeps v non-null."""
+        e = ext.select("chunk_id", F.explode("entities").alias("en")).select(
+            F.lit("ent").alias("kind"),
+            "chunk_id",
+            F.col("en.rank").cast("long").alias("k"),
+            F.col("en.entity_id").alias("a"),
+            F.col("en.name").alias("b"),
+            F.col("en.entity_type").alias("c"),
+            F.col("en.confidence").cast("double").alias("v"),
+        )
+        t = ext.select(
+            "chunk_id", F.posexplode("triples").alias("pos", "tr")
+        ).select(
+            F.lit("tri").alias("kind"),
+            "chunk_id",
+            F.col("pos").cast("long").alias("k"),
+            F.col("tr.subj").alias("a"),
+            F.col("tr.pred").alias("b"),
+            F.col("tr.obj").alias("c"),
+            F.lit(-1.0).alias("v"),
+        )
+        return e.unionByName(t)
+
+    def kg_gleaning(spark, sf_dir):
+        """Pattern-mode gleaning loop (gleaning_extractor.rs:112-223
+        density-gate analogue, deterministic round count): round-1
+        extraction, then chunks below the entity target re-extract with the
+        widened type set. Oracle: independent single-process recomposition
+        (oracle_twins.gleaning_extraction)."""
+        from dataclasses import replace as dc_replace
+
+        from graphrag_rs_spark.operators.extraction import extract_gleaning
+
+        _ensure_twin_dump(sf_dir)
+        cfg = dc_replace(_KG_CONFIG, max_gleaning_rounds=2)
+        docs = assemble_documents(
+            _fixture_transcripts(spark, sf_dir), separator=cfg.turn_separator
+        )
+        chunks = chunk_documents(docs, cfg).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return _extraction_kind_rows(extract_gleaning(chunks, cfg))
+
+    q["kg_gleaning"] = kg_gleaning
+
+    def hybrid_extraction_q(spark, sf_dir):
+        """Hybrid-mode build (setconfig.rs:1780-1794 → lib.rs:383) through
+        build_graph itself with the DeterministicStubClient as the
+        endpoint: pattern + derived-LLM extraction fused per chunk by
+        merge_extractions. Oracle: the single-process twin re-derives the
+        stub responses and re-fuses them independently
+        (oracle_twins.hybrid_extraction)."""
+        from dataclasses import replace as dc_replace
+
+        from graphrag_rs_spark.operators.llm_extraction import (
+            DeterministicStubClient,
+        )
+
+        _ensure_twin_dump(sf_dir)
+        key = (id(spark), sf_dir, "hybrid")
+        if key not in _KG_MEMO:
+            cfg = dc_replace(_KG_CONFIG, extraction_mode="hybrid")
+            tables = build_graph(
+                spark,
+                _fixture_transcripts(spark, sf_dir),
+                cfg,
+                client_factory=DeterministicStubClient,
+            )
+            _KG_MEMO[key] = {
+                "extraction": tables["extraction"].localCheckpoint(eager=True)
+            }
+        return _extraction_kind_rows(_KG_MEMO[key]["extraction"])
+
+    q["hybrid_extraction"] = hybrid_extraction_q
+
+    def streaming_rebuild(spark, sf_dir):
+        """Structured-Streaming incremental ingest ≡ batch rebuild
+        (incremental/mod.rs:15-119 invariant), driver-checked: the fixture
+        is split into two file drops, ingested as two foreachBatch
+        micro-batches into a versioned workspace, and the published
+        relationships table must EQUAL the single-process batch oracle's
+        kg_edges dump — the same oracle the batch `kg_edges` row is checked
+        against, so streaming ≡ batch ≡ oracle close the triangle."""
+        import shutil
+
+        from graphrag_rs_spark.streaming.ingest import run_incremental_ingest
+
+        _ensure_oracle_dump(sf_dir)
+        base = os.path.basename(os.path.normpath(sf_dir))
+        key = (id(spark), sf_dir, "stream_ws")
+        if key not in _KG_MEMO:
+            root = f"/tmp/graphrag_stream_ws/{base}_{os.getpid()}"
+            shutil.rmtree(root, ignore_errors=True)
+            in_dir = os.path.join(root, "in")
+            os.makedirs(in_dir)
+            tr = _fixture_transcripts(spark, sf_dir)
+            n_convs = max(30, int(3000 * _sf_of(sf_dir)))
+            cut = f"conv{n_convs // 2:08d}"
+            tr.where(F.col("conv_id") < cut).write.parquet(
+                os.path.join(in_dir, "drop1")
+            )
+            run_incremental_ingest(
+                spark, in_dir + "/*", os.path.join(root, "ws"),
+                os.path.join(root, "ckpt"), _KG_CONFIG,
+            )
+            tr.where(F.col("conv_id") >= cut).write.parquet(
+                os.path.join(in_dir, "drop2")
+            )
+            run_incremental_ingest(
+                spark, in_dir + "/*", os.path.join(root, "ws"),
+                os.path.join(root, "ckpt"), _KG_CONFIG,
+            )
+            _KG_MEMO[key] = {"ws": root}
+        ws = _KG_MEMO[key]["ws"]
+        e = spark.read.parquet(os.path.join(ws, "ws", "relationships"))
+        return e.select(
+            "subj", "pred", "obj",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.array_join(F.array_sort("context"), "|").alias("context"),
+        )
+
+    q["streaming_rebuild"] = streaming_rebuild
 
     # ---- graph primitives (oracle-checked on the nation path graph).
     # CC + degrees share one entry (joined on id) — the driver records at
@@ -776,26 +907,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temporal_snapshot"] = temporal_q
 
-    def semantic_edges_exact(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-        r = semantic_similarity_edges(
-            emb, id_col="vec_id", threshold=0.5, max_connections=5, method="exact"
-        )
-        return r.select(
-            F.col("src").cast("long").alias("src"),
-            "pred",
-            F.col("dst").cast("long").alias("dst"),
-            F.round("similarity", 9).alias("similarity"),
-        )
-
-    q["semantic_edges_exact"] = semantic_edges_exact
-
-    def semantic_edges_lsh(spark, sf_dir):
-        """Recall-shaped: rows are the EXACT semantic edges (DuckDB
-        recomputes them all-pairs); the flag asserts the LSH path recovered
-        every one of them (deterministic under the fixed seed)."""
+    def semantic_edges_q(spark, sf_dir):
+        """Both semantic-edge methods in ONE kind-tagged slot (r4-style
+        consolidation, freeing driver rows for the r5 pipeline checks):
+        'exact' rows are the exact cosine top-k edges (DuckDB recomputes
+        them all-pairs); 'lsh' rows repeat the exact edge set with the
+        recall flag asserting the LSH path recovered every one of them
+        (deterministic under the fixed seed — the oracle pins flag=1)."""
         emb = _read(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
@@ -811,15 +929,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ok = flagged.agg(
             F.min(F.coalesce("found", F.lit(False))).alias("recall_ok")
         )
-        return flagged.crossJoin(F.broadcast(ok)).select(
+        exact_rows = exact.select(
+            F.lit("exact").alias("kind"),
             F.col("src").cast("long").alias("src"),
-            "pred",
             F.col("dst").cast("long").alias("dst"),
             F.round("similarity", 9).alias("similarity"),
-            "recall_ok",
+            F.lit(1).cast("long").alias("flag"),
         )
+        lsh_rows = flagged.crossJoin(F.broadcast(ok)).select(
+            F.lit("lsh").alias("kind"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.round("similarity", 9).alias("similarity"),
+            F.col("recall_ok").cast("long").alias("flag"),
+        )
+        return exact_rows.unionByName(lsh_rows)
 
-    q["semantic_edges_lsh"] = semantic_edges_lsh
+    q["semantic_edges"] = semantic_edges_q
 
     def pagerank_q(spark, sf_dir):
         _ensure_twin_dump(sf_dir)
@@ -861,23 +987,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id", cap.alias("text"))
 
     def concepts_q(spark, sf_dir):
-        docs = _cap_docs(spark, sf_dir)
-        return concept_phrases(docs, text_col="text", id_col="doc_id").select(
-            F.col("doc_id").cast("long").alias("doc_id"), "concept"
-        )
-
-    q["concept_phrases"] = concepts_q
-
-    def concept_cooc_q(spark, sf_dir):
+        """Concept phrases + their co-occurrence graph in ONE kind-tagged
+        slot (r4-style consolidation): 'phrase' rows are the per-document
+        concept extraction, 'cooc' rows the pairwise co-occurrence edges
+        with Jaccard confidence. Numeric sentinels (-1) stand in for the
+        fields the other kind doesn't carry — no NULLs reach the hash."""
         docs = _cap_docs(spark, sf_dir)
         phrases = concept_phrases(docs, text_col="text", id_col="doc_id")
-        return concept_cooccurrence(phrases, id_col="doc_id").select(
-            "source", "target",
-            F.col("count").cast("long").alias("count"),
-            F.round("confidence", 9).alias("confidence"),
+        phrase_rows = phrases.select(
+            F.lit("phrase").alias("kind"),
+            F.col("doc_id").cast("string").alias("a"),
+            F.col("concept").alias("b"),
+            F.lit(-1).cast("long").alias("n"),
+            F.lit(-1.0).alias("v"),
         )
+        cooc_rows = concept_cooccurrence(phrases, id_col="doc_id").select(
+            F.lit("cooc").alias("kind"),
+            F.col("source").alias("a"),
+            F.col("target").alias("b"),
+            F.col("count").cast("long").alias("n"),
+            F.round("confidence", 9).alias("v"),
+        )
+        return phrase_rows.unionByName(cooc_rows)
 
-    q["concept_cooccurrence"] = concept_cooc_q
+    q["concepts"] = concepts_q
 
     # ---- TF-IDF keywords (text/keyword_extraction.rs) ----
     def tfidf_q(spark, sf_dir):
@@ -956,43 +1089,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # betweenness on the CHAIN graph: unique shortest paths make the count
     # closed-form (node at offset i of an s-chain sits on 2·i·(s−1−i)
     # ordered pairs), SQL-checkable without replicating Dijkstra.
-    def betweenness_q(spark, sf_dir):
-        from graphrag_rs_spark.operators.centrality import betweenness_centrality
+    def centrality_q(spark, sf_dir):
+        """Betweenness (chain), closeness (band) and Dijkstra (region-0
+        chain) in ONE kind-tagged slot (r4-style consolidation): 'btw'/'clo'
+        rows carry the centrality in v (n = -1 sentinel); 'path' rows carry
+        the Dijkstra step in n and the distance in v. The per-graph
+        closed-form SQL oracles union identically."""
+        from graphrag_rs_spark.operators.centrality import (
+            betweenness_centrality,
+            closeness_centrality,
+            shortest_path,
+        )
 
-        b = betweenness_centrality(_nation_chain_edges(spark, sf_dir))
-        return b.select("id", F.round("betweenness", 9).alias("betweenness"))
-
-    q["betweenness_chain"] = betweenness_q
-
-    # closeness on the BAND graph: pairwise distance is ceil(|Δrank|/2)
-    # within a region — closed-form in SQL.
-    def closeness_q(spark, sf_dir):
-        from graphrag_rs_spark.operators.centrality import closeness_centrality
-
-        c = closeness_centrality(_nation_band_edges(spark, sf_dir))
-        return c.select("id", F.round("closeness", 9).alias("closeness"))
-
-    q["closeness_band"] = closeness_q
-
-    # Dijkstra along region 0's chain: min → max nation of the region
-    # (analytics.rs:281-344); steps/distances are closed-form in SQL.
-    def shortest_path_q(spark, sf_dir):
-        from graphrag_rs_spark.operators.centrality import shortest_path
-
-        n = _read(spark, sf_dir, "nation")
-        bounds = n.where(F.col("n_regionkey") == 0).agg(
+        b = betweenness_centrality(_nation_chain_edges(spark, sf_dir)).select(
+            F.lit("btw").alias("kind"), "id",
+            F.lit(-1).cast("long").alias("n"),
+            F.round("betweenness", 9).alias("v"),
+        )
+        c = closeness_centrality(_nation_band_edges(spark, sf_dir)).select(
+            F.lit("clo").alias("kind"), "id",
+            F.lit(-1).cast("long").alias("n"),
+            F.round("closeness", 9).alias("v"),
+        )
+        nat = _read(spark, sf_dir, "nation")
+        bounds = nat.where(F.col("n_regionkey") == 0).agg(
             F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")
         ).collect()[0]
-        sp = shortest_path(
+        p = shortest_path(
             _nation_chain_edges(spark, sf_dir),
             f"n{bounds['lo']}", f"n{bounds['hi']}",
+        ).select(
+            F.lit("path").alias("kind"), "id",
+            F.col("step").cast("long").alias("n"),
+            F.round("distance", 9).alias("v"),
         )
-        return sp.select(
-            F.col("step").cast("long").alias("step"), "id",
-            F.round("distance", 9).alias("distance"),
-        )
+        return b.unionByName(c).unionByName(p)
 
-    q["shortest_path_chain"] = shortest_path_q
+    q["centrality"] = centrality_q
 
     # ---- HippoRAG PPR retrieval (retrieval/hipporag_ppr.rs) -----------
     # deterministic fixture from the events table: entities = event types,
@@ -1932,7 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-15'
     """
 
-    o["semantic_edges_exact"] = """
+    o["semantic_edges"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         s AS (
           SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1943,10 +2076,13 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY src
                                     ORDER BY sim DESC, dst) AS rn
           FROM s WHERE sim > 0.5
-        )
-        SELECT src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
-               round(sim, 9) AS similarity
-        FROM f WHERE rn <= 5
+        ), topk AS (SELECT src, dst, sim FROM f WHERE rn <= 5)
+        SELECT 'exact' AS kind, src, dst, round(sim, 9) AS similarity,
+               CAST(1 AS BIGINT) AS flag
+        FROM topk
+        UNION ALL
+        SELECT 'lsh', src, dst, round(sim, 9), CAST(1 AS BIGINT)
+        FROM topk
     """
 
     # --- concept graph ---
@@ -1966,20 +2102,7 @@ def oracle_sql() -> dict[str, str]:
         "string_split(text, ' '), w -> upper(w[1]) || w[2:]), ' ') AS text "
         "FROM documents)"
     )
-    o["concept_phrases"] = f"""
-        WITH {_CAPDOC}, p AS (
-          SELECT doc_id,
-                 list_filter(
-                   list_distinct(list_concat(
-                     regexp_extract_all(text, {_CAP}),
-                     regexp_extract_all(text, {_NOUN}))),
-                   c -> {_VALID}) AS cs
-          FROM cap
-        )
-        SELECT DISTINCT doc_id, unnest(cs) AS concept FROM p
-    """
-
-    o["concept_cooccurrence"] = f"""
+    o["concepts"] = f"""
         WITH {_CAPDOC}, p AS (
           SELECT doc_id,
                  list_filter(
@@ -1997,13 +2120,19 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) AS BIGINT) AS count
           FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.concept < b.concept
           GROUP BY a.concept, b.concept
+        ), cooc AS (
+          SELECT source, target, count,
+                 round(CAST(count AS DOUBLE)
+                       / (pa.n_chunks + pb.n_chunks - count), 9) AS confidence
+          FROM pairs
+          JOIN per pa ON pairs.source = pa.concept
+          JOIN per pb ON pairs.target = pb.concept
         )
-        SELECT source, target, count,
-               round(CAST(count AS DOUBLE)
-                     / (pa.n_chunks + pb.n_chunks - count), 9) AS confidence
-        FROM pairs
-        JOIN per pa ON pairs.source = pa.concept
-        JOIN per pb ON pairs.target = pb.concept
+        SELECT 'phrase' AS kind, CAST(doc_id AS VARCHAR) AS a, concept AS b,
+               CAST(-1 AS BIGINT) AS n, -1.0 AS v
+        FROM g
+        UNION ALL
+        SELECT 'cooc', source, target, count, confidence FROM cooc
     """
 
     # --- TF-IDF keywords ---
@@ -2142,47 +2271,45 @@ def oracle_sql() -> dict[str, str]:
     # chain graph: unique shortest paths; interior node at offset i of an
     # s-chain lies on 2·i·(s−1−i) ordered pairs; denominator (n−1)(n−2)/2
     # over the nodes that appear in the edge list (regions with ≥2 nations)
-    o["betweenness_chain"] = """
+    # kind-tagged union of the three closed-form centrality oracles:
+    # chain betweenness (node at offset i of an s-chain sits on
+    # 2·i·(s−1−i) ordered pairs), band closeness (dist = ceil(|Δrank|/2)),
+    # region-0 chain Dijkstra (step = distance = rank offset)
+    o["centrality"] = """
         WITH c AS (
           SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
                  row_number() OVER (PARTITION BY n_regionkey
                                     ORDER BY n_nationkey) - 1 AS i,
                  COUNT(*) OVER (PARTITION BY n_regionkey) AS s
           FROM nation
-        ), f AS (SELECT * FROM c WHERE s > 1),
-        n_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)
-        SELECT id,
-               round(2.0 * i * (s - 1 - i)
-                     / ((n_tot.n - 1.0) * (n_tot.n - 2.0) / 2.0), 9)
-                 AS betweenness
-        FROM f, n_tot
-    """
-
-    # band graph: within a region, dist(rank a, rank b) = ceil(|a-b|/2)
-    o["closeness_band"] = """
-        WITH nn AS (
+        ), cf AS (SELECT * FROM c WHERE s > 1),
+        n_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cf),
+        nn AS (
           SELECT n_regionkey AS g,
                  'n' || CAST(n_nationkey AS VARCHAR) AS id,
                  row_number() OVER (PARTITION BY n_regionkey
                                     ORDER BY n_nationkey) AS rk,
                  COUNT(*) OVER (PARTITION BY n_regionkey) AS s
           FROM nation
-        ), f AS (SELECT * FROM nn WHERE s > 1),
+        ), bf AS (SELECT * FROM nn WHERE s > 1),
         d AS (
           SELECT a.id, CAST(ceil(abs(a.rk - b.rk) / 2.0) AS DOUBLE) AS dist
-          FROM f a JOIN f b ON a.g = b.g AND a.rk != b.rk
+          FROM bf a JOIN bf b ON a.g = b.g AND a.rk != b.rk
         )
-        SELECT id,
-               round(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 9) AS closeness
+        SELECT 'btw' AS kind, id, CAST(-1 AS BIGINT) AS n,
+               round(2.0 * i * (s - 1 - i)
+                     / ((n_tot.n - 1.0) * (n_tot.n - 2.0) / 2.0), 9) AS v
+        FROM cf, n_tot
+        UNION ALL
+        SELECT 'clo', id, CAST(-1 AS BIGINT),
+               round(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 9)
         FROM d GROUP BY id
-    """
-
-    o["shortest_path_chain"] = """
-        SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
-                 AS step,
-               'n' || CAST(n_nationkey AS VARCHAR) AS id,
+        UNION ALL
+        SELECT 'path',
+               'n' || CAST(n_nationkey AS VARCHAR),
+               CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT),
                round(CAST(row_number() OVER (ORDER BY n_nationkey) - 1
-                     AS DOUBLE), 9) AS distance
+                     AS DOUBLE), 9)
         FROM nation WHERE n_regionkey = 0
     """
 
@@ -2343,21 +2470,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 10
     """
 
-    o["semantic_edges_lsh"] = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        s AS (
-          SELECT a.vec_id AS src, b.vec_id AS dst,
-                 list_cosine_similarity(a.v, b.v) AS sim
-          FROM e a JOIN e b ON a.vec_id != b.vec_id
-        ), f AS (
-          SELECT src, dst, sim,
-                 row_number() OVER (PARTITION BY src
-                                    ORDER BY sim DESC, dst) AS rn
-          FROM s WHERE sim > 0.5
-        )
-        SELECT src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
-               round(sim, 9) AS similarity, TRUE AS recall_ok
-        FROM f WHERE rn <= 5
+    # --- r5 pipeline-path oracles (twin dumps + the batch kg_edges dump) ---
+    o["kg_gleaning"] = f"""
+        SELECT kind, chunk_id, k, a, b, c, v
+        FROM read_parquet('{_dump("kg_gleaning")}')
+    """
+    o["hybrid_extraction"] = f"""
+        SELECT kind, chunk_id, k, a, b, c, v
+        FROM read_parquet('{_dump("hybrid_extraction")}')
+    """
+    # streaming ≡ batch ≡ oracle: the incremental workspace's published
+    # relationships must equal the SAME single-process dump the batch
+    # kg_edges row is checked against
+    o["streaming_rebuild"] = f"""
+        SELECT subj, pred, obj, confidence, context
+        FROM read_parquet('{_dump("kg_edges")}')
     """
 
     o["dedup_embedding_cosine"] = """

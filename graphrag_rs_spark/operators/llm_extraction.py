@@ -548,3 +548,69 @@ class RecordedClient:
             return self._lookup(self.completion, prompt)
         self.calls.append("extraction")
         return self._lookup(self.extraction, prompt)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic offline endpoint stand-in (driver oracle row + smoke use)
+# ---------------------------------------------------------------------------
+
+_STUB_RUN_RE = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b")
+_STUB_ORG_SUFFIXES = frozenset(
+    {"Corp", "Corporation", "Inc", "Systems", "Analytics", "Technologies",
+     "Labs", "Industries", "Group", "Ltd"}
+)
+_STUB_TEXT_RE = re.compile(r"Text: (.*)\n#+\nOutput:", re.DOTALL)
+
+
+class DeterministicStubClient:
+    """Config-free deterministic endpoint stand-in: answers the extraction
+    prompt by deriving entities from the prompt's embedded chunk text with
+    a FIXED public rule (:meth:`derive`), declares every extraction
+    complete, and gleans nothing. Exists so hybrid/semantic-mode pipelines
+    can run end-to-end — and be oracle-checked — without a live endpoint:
+    the driver's ``hybrid_extraction`` row builds with this client and the
+    single-process twin (``oracle_twins.hybrid_extraction``) re-derives the
+    same responses and re-fuses them independently, pinning
+    :func:`merge_extractions` + the hybrid dispatch
+    (setconfig.rs:1780-1794 parity) on real data."""
+
+    @staticmethod
+    def derive(text: str) -> dict:
+        """Fixed derivation: maximal runs of >= 2 Capitalized words are
+        entities (ORGANIZATION when the run ends in a corporate suffix,
+        else PERSON; first occurrence wins), and consecutive distinct runs
+        relate as MENTIONED_WITH. Deliberately different from the pattern
+        extractor so hybrid fusion exercises both the in-place replacement
+        (name twins at the fixed LLM confidence 0.9) and the append path
+        (multi-word runs the patterns miss)."""
+        entities, seen = [], set()
+        order = []
+        for m in _STUB_RUN_RE.finditer(text or ""):
+            name = m.group(0)
+            key = name.lower()
+            if key in seen:
+                continue
+            seen.add(key)
+            etype = (
+                "ORGANIZATION"
+                if name.rsplit(" ", 1)[-1] in _STUB_ORG_SUFFIXES
+                else "PERSON"
+            )
+            entities.append(
+                {"name": name, "type": etype, "description": f"run:{name}"}
+            )
+            order.append(name)
+        relationships = [
+            {"source": a, "target": b, "description": "MENTIONED_WITH",
+             "strength": 0.8}
+            for a, b in zip(order, order[1:])
+        ]
+        return {"entities": entities, "relationships": relationships}
+
+    async def acomplete(self, prompt: str) -> str:
+        if prompt.startswith("Based on the text below"):
+            return "YES"  # always complete — no gleaning rounds
+        if prompt.startswith("-Goal-\nYou previously extracted"):
+            return '{"entities": [], "relationships": []}'
+        m = _STUB_TEXT_RE.search(prompt)
+        return json.dumps(self.derive(m.group(1) if m else ""))

@@ -622,3 +622,156 @@ def fallback_relations(dump_dir: str) -> pd.DataFrame:
             "relation_type", "confidence",
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern-mode gleaning loop (gleaning_extractor.rs:112-223 density-gate
+# analogue): independent single-process recomposition of
+# operators/extraction.extract_gleaning — round-1 extraction with the
+# configured types, then chunks below the entity target re-extract with the
+# widened type set and REPLACE their row (entities AND triples)
+# ---------------------------------------------------------------------------
+
+def gleaning_extraction(n_convs: int, seed: int = 42) -> pd.DataFrame:
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.fixtures import generate_transcripts
+    from graphrag_rs_spark.oracle import assemble
+    from graphrag_rs_spark.rules.chunking import chunk_document
+    from graphrag_rs_spark.rules.extraction import (
+        extract_entities,
+        extract_relationships,
+    )
+
+    cfg = PipelineConfig(max_gleaning_rounds=2)
+    base = tuple(cfg.all_entity_types)
+    widened = base + ("CONCEPT",)
+    target = max(1, cfg.gleaning_entity_target)
+    docs, _ = assemble(
+        generate_transcripts(n_convs, seed=seed), cfg.turn_separator
+    )
+    out = []
+    for conv_id in sorted(docs):
+        for idx, (_s, _e, text) in enumerate(
+            chunk_document(
+                docs[conv_id] or "",
+                chunk_size=cfg.chunk_size,
+                overlap=cfg.chunk_overlap,
+                min_chunk_size=cfg.min_chunk_size,
+                chunker=cfg.chunker,
+            )
+        ):
+            chunk_id = f"{conv_id}_{idx}"
+            ents = extract_entities(text, base, cfg.min_confidence)
+            if len(ents) < target:
+                ents = extract_entities(text, widened, cfg.min_confidence)
+            tris = (
+                extract_relationships(ents, text)
+                if cfg.extract_relationships else []
+            )
+            for rank, e in enumerate(ents):
+                out.append(
+                    ("ent", chunk_id, rank, e.entity_id, e.name,
+                     e.entity_type, float(np.float32(e.confidence)))
+                )
+            for k, (subj, obj, pred) in enumerate(tris):
+                out.append(("tri", chunk_id, k, subj, pred, obj, -1.0))
+    return pd.DataFrame(
+        out, columns=["kind", "chunk_id", "k", "a", "b", "c", "v"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-mode extraction (setconfig.rs:1780-1794 -> lib.rs:383 fusion):
+# pattern extraction + the DeterministicStubClient's derived "LLM" output,
+# fused by an independent reimplementation of merge_extractions'
+# gleaning-merge semantics (in-place replacement on strictly-higher
+# confidence, append never-seen LLM names, pattern-first triple dedupe)
+# ---------------------------------------------------------------------------
+
+def hybrid_extraction(n_convs: int, seed: int = 42) -> pd.DataFrame:
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.fixtures import generate_transcripts
+    from graphrag_rs_spark.operators.llm_extraction import (
+        DeterministicStubClient,
+    )
+    from graphrag_rs_spark.oracle import assemble
+    from graphrag_rs_spark.rules.chunking import chunk_document
+    from graphrag_rs_spark.rules.extraction import (
+        entity_id_for,
+        extract_entities,
+        extract_relationships,
+    )
+
+    cfg = PipelineConfig()
+    types = tuple(cfg.all_entity_types)
+    docs, _ = assemble(
+        generate_transcripts(n_convs, seed=seed), cfg.turn_separator
+    )
+    out = []
+    for conv_id in sorted(docs):
+        for idx, (_s, _e, text) in enumerate(
+            chunk_document(
+                docs[conv_id] or "",
+                chunk_size=cfg.chunk_size,
+                overlap=cfg.chunk_overlap,
+                min_chunk_size=cfg.min_chunk_size,
+                chunker=cfg.chunker,
+            )
+        ):
+            chunk_id = f"{conv_id}_{idx}"
+            # pattern side (the `existing` set of the gleaning merge)
+            p_ents = [
+                (e.entity_id, e.name, e.entity_type,
+                 float(np.float32(e.confidence)))
+                for e in extract_entities(text, types, cfg.min_confidence)
+            ]
+            p_tris = [
+                (s, o, p)
+                for s, o, p in extract_relationships(
+                    extract_entities(text, types, cfg.min_confidence), text
+                )
+            ] if cfg.extract_relationships else []
+            # "LLM" side: the stub's public derivation + _to_rows semantics
+            # (fixed confidence 0.9, {TYPE}_{normalize} ids, name->id triples)
+            derived = DeterministicStubClient.derive(text)
+            l_ents, name_to_id = [], {}
+            for e in derived["entities"]:
+                eid = entity_id_for(e["name"], e["type"])
+                name_to_id[e["name"].lower()] = eid
+                l_ents.append(
+                    (eid, e["name"], e["type"], float(np.float32(0.9)))
+                )
+            l_tris, seen_t = [], set()
+            for r in derived["relationships"]:
+                s = name_to_id.get(r["source"].lower())
+                t = name_to_id.get(r["target"].lower())
+                if s and t:
+                    tri = (s, t, r["description"] or "RELATED_TO")
+                    if tri not in seen_t:
+                        seen_t.add(tri)
+                        l_tris.append(tri)
+            # fusion (merge_extractions semantics, reimplemented)
+            l_by_name = {}
+            for le in l_ents:
+                l_by_name.setdefault(le[1].lower(), le)
+            p_names = {pe[1].lower() for pe in p_ents}
+            fused = [
+                l_by_name[pe[1].lower()]
+                if pe[1].lower() in l_by_name
+                and l_by_name[pe[1].lower()][3] > pe[3]
+                else pe
+                for pe in p_ents
+            ]
+            fused += [le for le in l_ents if le[1].lower() not in p_names]
+            tris, seen = [], set()
+            for tri in p_tris + l_tris:
+                if tri not in seen:
+                    seen.add(tri)
+                    tris.append(tri)
+            for rank, (eid, name, etype, conf) in enumerate(fused):
+                out.append(("ent", chunk_id, rank, eid, name, etype, conf))
+            for k, (subj, obj, pred) in enumerate(tris):
+                out.append(("tri", chunk_id, k, subj, pred, obj, -1.0))
+    return pd.DataFrame(
+        out, columns=["kind", "chunk_id", "k", "a", "b", "c", "v"]
+    )

@@ -150,6 +150,49 @@ def test_approach_sections_override_top_level(tmp_path):
     assert load_config(str(hyb2)).max_gleaning_rounds == 7
 
 
+def test_deterministic_stub_client_contract():
+    """The offline stub answers all three prompt kinds deterministically:
+    extraction derives capitalized runs from the embedded text, the
+    completion check always says YES (no gleaning rounds), gleaning
+    returns empty arrays."""
+    import asyncio
+
+    from graphrag_rs_spark.operators.llm_extraction import (
+        DeterministicStubClient,
+        build_completion_prompt,
+        build_extraction_prompt,
+        build_gleaning_prompt,
+    )
+
+    text = ("Maria Santos met David Chen at Helix Analytics. "
+            "Acme Corp was mentioned.")
+    c = DeterministicStubClient()
+    out = json.loads(asyncio.run(
+        c.acomplete(build_extraction_prompt(text, ("PERSON",)))
+    ))
+    names = {(e["name"], e["type"]) for e in out["entities"]}
+    assert names == {
+        ("Maria Santos", "PERSON"), ("David Chen", "PERSON"),
+        ("Helix Analytics", "ORGANIZATION"), ("Acme Corp", "ORGANIZATION"),
+    }
+    rels = [(r["source"], r["target"]) for r in out["relationships"]]
+    assert rels == [
+        ("Maria Santos", "David Chen"), ("David Chen", "Helix Analytics"),
+        ("Helix Analytics", "Acme Corp"),
+    ]
+    assert asyncio.run(
+        c.acomplete(build_completion_prompt(text, [], []))
+    ) == "YES"
+    glean = json.loads(asyncio.run(
+        c.acomplete(build_gleaning_prompt(text, ("PERSON",), [], []))
+    ))
+    assert glean == {"entities": [], "relationships": []}
+    # same prompt → same answer (pure function of the prompt)
+    assert asyncio.run(
+        c.acomplete(build_extraction_prompt(text, ("PERSON",)))
+    ) == json.dumps(DeterministicStubClient.derive(text))
+
+
 def test_build_graph_rejects_unknown_mode(spark):
     transcripts = spark.createDataFrame(TURNS, TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError, match="extraction_mode"):
