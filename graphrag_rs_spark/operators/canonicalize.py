@@ -56,6 +56,12 @@ from graphrag_rs_spark.operators.graph import connected_components
 PAIR_SCORE_SCHEMA = "id1 string, id2 string, score float"
 CLUSTER_ASSIGN_SCHEMA = "entity_id string, cluster_id string"
 
+# frontier rounds before the greedy replay's sequential O(E) finish takes
+# over (pathological scan-ordered chains have dependency depth V; real
+# similarity components decide in tens of rounds). Module-level so tests
+# can pin it low and exercise the mixed frontier→fallback path.
+_MAX_FRONTIER_ROUNDS = 512
+
 def blocking_keys(entities: DataFrame) -> DataFrame:
     """entities(entity_id, name, entity_type, …) → (block_key, entity_id).
 
@@ -582,7 +588,7 @@ def _greedy_replay_cogroup(
         tgt_off = np.zeros(n + 1, dtype=np.int64)
 
     SENTINEL = n
-    MAX_ROUNDS = 512
+    MAX_ROUNDS = _MAX_FRONTIER_ROUNDS
     seed = np.zeros(n, dtype=bool)
     decided = np.zeros(n, dtype=bool)
     min_seed = np.full(n, SENTINEL, dtype=np.int64)

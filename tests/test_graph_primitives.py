@@ -302,6 +302,27 @@ def test_greedy_replay_matches_serial_walk(seed, n, n_edges, conv_buckets):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_greedy_replay_mixed_frontier_fallback_matches(monkeypatch, seed):
+    """With the frontier-round cap pinned to 2, most nodes decide in the
+    sequential fallback while some seeds come from the frontier phase —
+    the mix where a fallback node must NOT trust a partially-propagated
+    min_seed (loop-decided seeds never ran minimum.at). Pointwise equal to
+    the serial walk on random multigraphs."""
+    import random as _random
+
+    from graphrag_rs_spark.operators import canonicalize as cz
+
+    monkeypatch.setattr(cz, "_MAX_FRONTIER_ROUNDS", 2)
+    rng = _random.Random(seed)
+    members, edges = _random_replay_case(rng, 300, 700, 20)
+    got = cz._greedy_replay_cogroup(members, edges)
+    want = _serial_greedy_walk_reference(members, edges)
+    assert dict(zip(got["entity_id"], got["cluster_id"])) == dict(
+        zip(want["entity_id"], want["cluster_id"])
+    )
+
+
 def test_greedy_replay_deep_path_hits_fallback_and_matches():
     """A scan-ordered path of length 2000 has dependency depth 2000 >
     MAX_ROUNDS(512): the sequential finish must produce the same answer
