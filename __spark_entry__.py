@@ -559,6 +559,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_rebuild"] = streaming_rebuild
 
+    def checkpoint_resume(spark, sf_dir):
+        """Checkpointed build + exact RESUME (plans/checkpoint.py, the
+        incremental/mod.rs:47-51 content-hash contract): build once
+        through the CheckpointManager, then build AGAIN against the same
+        checkpoint dir — every stage must be served from its manifest
+        (stages_resumed, no recompute) and the resumed edges must equal
+        the same single-process oracle dump the batch kg_edges row is
+        checked against. Closes the checkpoint/lineage/resume component's
+        driver-verification gap (it was pytest-only through round 4)."""
+        import shutil
+
+        _ensure_oracle_dump(sf_dir)
+        base = os.path.basename(os.path.normpath(sf_dir))
+        key = (id(spark), sf_dir, "ckpt_resume")
+        if key not in _KG_MEMO:
+            root = f"/tmp/graphrag_ckpt_resume/{base}_{os.getpid()}"
+            shutil.rmtree(root, ignore_errors=True)
+            tr = _fixture_transcripts(spark, sf_dir)
+            first = build_graph(spark, tr, _KG_CONFIG, checkpoint_dir=root)
+            first["edges"].count()  # materialize every stage checkpoint
+            resumed = build_graph(spark, tr, _KG_CONFIG, checkpoint_dir=root)
+            ckpt = resumed["_checkpoint"]
+            edges = resumed["edges"].localCheckpoint(eager=True)
+            if not ckpt.stages_resumed or ckpt.stages_computed:
+                raise RuntimeError(
+                    "resume contract broken: resumed="
+                    f"{ckpt.stages_resumed} computed={ckpt.stages_computed}"
+                )
+            _KG_MEMO[key] = {"edges": edges}
+        e = _KG_MEMO[key]["edges"]
+        return e.select(
+            "subj", "pred", "obj",
+            F.col("confidence").cast("double").alias("confidence"),
+            F.array_join(F.array_sort("context"), "|").alias("context"),
+        )
+
+    q["checkpoint_resume"] = checkpoint_resume
+
     # ---- graph primitives (oracle-checked on the nation path graph).
     # CC + degrees share one entry (joined on id) — the driver records at
     # most 50 correctness rows, so single-table checks are consolidated
@@ -2483,6 +2521,11 @@ def oracle_sql() -> dict[str, str]:
     # relationships must equal the SAME single-process dump the batch
     # kg_edges row is checked against
     o["streaming_rebuild"] = f"""
+        SELECT subj, pred, obj, confidence, context
+        FROM read_parquet('{_dump("kg_edges")}')
+    """
+    # resume ≡ batch ≡ oracle — same dump, resumed-from-checkpoint source
+    o["checkpoint_resume"] = f"""
         SELECT subj, pred, obj, confidence, context
         FROM read_parquet('{_dump("kg_edges")}')
     """
