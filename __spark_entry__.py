@@ -107,11 +107,15 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
+def _fixture_n_convs(sf_dir: str) -> int:
+    """Single source of truth for the fixture size — the oracle dumps, the
+    twin dumps and the streaming two-drop split must all agree on it."""
+    return max(30, int(3000 * _sf_of(sf_dir)))
+
+
 def _fixture_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic transcripts (input_hint shape), sized by sf."""
-    sf = _sf_of(sf_dir)
-    n_convs = max(30, int(3000 * sf))
-    return transcripts_df(spark, n_convs, seed=42)
+    return transcripts_df(spark, _fixture_n_convs(sf_dir), seed=42)
 
 
 def _transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +243,21 @@ ORACLE_DUMP_ROOT = "/tmp/graphrag_oracle_dumps"
 _DUMP_DONE: set[str] = set()
 
 
+def _scratch_dir(family: str, base: str) -> str:
+    """Fresh per-process scratch dir ``/tmp/<family>/<base>_<pid>`` —
+    REAPS stale siblings from previous runs first (their pids differ, so
+    a per-pid rmtree alone would let workspaces accumulate forever on a
+    long-lived bench host)."""
+    import shutil
+
+    parent = os.path.join("/tmp", family)
+    os.makedirs(parent, exist_ok=True)
+    for entry in os.listdir(parent):
+        if entry.startswith(f"{base}_"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    return os.path.join(parent, f"{base}_{os.getpid()}")
+
+
 def _ensure_oracle_dump(sf_dir: str) -> str:
     """Write the Python-oracle stage tables for ``sf_dir``'s fixture size
     (idempotent, memoized); returns the dump directory. Only the driver's
@@ -255,9 +274,7 @@ def _ensure_oracle_dump(sf_dir: str) -> str:
     if out_dir in _DUMP_DONE or base != "sf0.01":
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    sf = _sf_of(sf_dir)
-    n_convs = max(30, int(3000 * sf))
-    rows = generate_transcripts(n_convs, seed=42)
+    rows = generate_transcripts(_fixture_n_convs(sf_dir), seed=42)
     result = run_oracle(rows, _KG_CONFIG)
     for name, table_rows in stage_tables(result, _KG_CONFIG).items():
         pd.DataFrame(table_rows).to_parquet(
@@ -284,8 +301,7 @@ def _ensure_twin_dump(sf_dir: str) -> str:
         return out_dir
     _ensure_oracle_dump(sf_dir)  # fallback_relations twin reads the kg dumps
     os.makedirs(out_dir, exist_ok=True)
-    sf = _sf_of(sf_dir)
-    n_convs = max(30, int(3000 * sf))
+    n_convs = _fixture_n_convs(sf_dir)
     dumps = {
         "dedup_simhash": tw.simhash_md5(sf_dir),
         "pagerank_nation_chain": tw.pagerank_nation_chain(sf_dir, max_iter=30),
@@ -519,21 +535,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relationships table must EQUAL the single-process batch oracle's
         kg_edges dump — the same oracle the batch `kg_edges` row is checked
         against, so streaming ≡ batch ≡ oracle close the triangle."""
-        import shutil
-
         from graphrag_rs_spark.streaming.ingest import run_incremental_ingest
 
         _ensure_oracle_dump(sf_dir)
         base = os.path.basename(os.path.normpath(sf_dir))
         key = (id(spark), sf_dir, "stream_ws")
         if key not in _KG_MEMO:
-            root = f"/tmp/graphrag_stream_ws/{base}_{os.getpid()}"
-            shutil.rmtree(root, ignore_errors=True)
+            root = _scratch_dir("graphrag_stream_ws", base)
             in_dir = os.path.join(root, "in")
             os.makedirs(in_dir)
             tr = _fixture_transcripts(spark, sf_dir)
-            n_convs = max(30, int(3000 * _sf_of(sf_dir)))
-            cut = f"conv{n_convs // 2:08d}"
+            cut = f"conv{_fixture_n_convs(sf_dir) // 2:08d}"
             tr.where(F.col("conv_id") < cut).write.parquet(
                 os.path.join(in_dir, "drop1")
             )
@@ -568,17 +580,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the same single-process oracle dump the batch kg_edges row is
         checked against. Closes the checkpoint/lineage/resume component's
         driver-verification gap (it was pytest-only through round 4)."""
-        import shutil
-
         _ensure_oracle_dump(sf_dir)
         base = os.path.basename(os.path.normpath(sf_dir))
         key = (id(spark), sf_dir, "ckpt_resume")
         if key not in _KG_MEMO:
-            root = f"/tmp/graphrag_ckpt_resume/{base}_{os.getpid()}"
-            shutil.rmtree(root, ignore_errors=True)
+            root = _scratch_dir("graphrag_ckpt_resume", base)
             tr = _fixture_transcripts(spark, sf_dir)
-            first = build_graph(spark, tr, _KG_CONFIG, checkpoint_dir=root)
-            first["edges"].count()  # materialize every stage checkpoint
+            # CheckpointManager.stage writes each stage's parquet + manifest
+            # EAGERLY as build_graph walks the DAG — every checkpoint
+            # exists the moment this returns, no action needed
+            build_graph(spark, tr, _KG_CONFIG, checkpoint_dir=root)
             resumed = build_graph(spark, tr, _KG_CONFIG, checkpoint_dir=root)
             ckpt = resumed["_checkpoint"]
             edges = resumed["edges"].localCheckpoint(eager=True)
@@ -970,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_rows = exact.select(
             F.lit("exact").alias("kind"),
             F.col("src").cast("long").alias("src"),
+            "pred",
             F.col("dst").cast("long").alias("dst"),
             F.round("similarity", 9).alias("similarity"),
             F.lit(1).cast("long").alias("flag"),
@@ -977,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_rows = flagged.crossJoin(F.broadcast(ok)).select(
             F.lit("lsh").alias("kind"),
             F.col("src").cast("long").alias("src"),
+            "pred",
             F.col("dst").cast("long").alias("dst"),
             F.round("similarity", 9).alias("similarity"),
             F.col("recall_ok").cast("long").alias("flag"),
@@ -2115,11 +2128,12 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sim DESC, dst) AS rn
           FROM s WHERE sim > 0.5
         ), topk AS (SELECT src, dst, sim FROM f WHERE rn <= 5)
-        SELECT 'exact' AS kind, src, dst, round(sim, 9) AS similarity,
-               CAST(1 AS BIGINT) AS flag
+        SELECT 'exact' AS kind, src, 'SEMANTICALLY_SIMILAR' AS pred, dst,
+               round(sim, 9) AS similarity, CAST(1 AS BIGINT) AS flag
         FROM topk
         UNION ALL
-        SELECT 'lsh', src, dst, round(sim, 9), CAST(1 AS BIGINT)
+        SELECT 'lsh', src, 'SEMANTICALLY_SIMILAR', dst, round(sim, 9),
+               CAST(1 AS BIGINT)
         FROM topk
     """
 

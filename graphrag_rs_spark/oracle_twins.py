@@ -719,17 +719,17 @@ def hybrid_extraction(n_convs: int, seed: int = 42) -> pd.DataFrame:
             )
         ):
             chunk_id = f"{conv_id}_{idx}"
-            # pattern side (the `existing` set of the gleaning merge)
+            # pattern side (the `existing` set of the gleaning merge) —
+            # ONE extraction feeds both the entity rows and the pairing
+            p_extracted = extract_entities(text, types, cfg.min_confidence)
             p_ents = [
                 (e.entity_id, e.name, e.entity_type,
                  float(np.float32(e.confidence)))
-                for e in extract_entities(text, types, cfg.min_confidence)
+                for e in p_extracted
             ]
             p_tris = [
                 (s, o, p)
-                for s, o, p in extract_relationships(
-                    extract_entities(text, types, cfg.min_confidence), text
-                )
+                for s, o, p in extract_relationships(p_extracted, text)
             ] if cfg.extract_relationships else []
             # "LLM" side: the stub's public derivation + _to_rows semantics
             # (fixed confidence 0.9, {TYPE}_{normalize} ids, name->id triples)

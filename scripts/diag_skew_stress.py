@@ -38,9 +38,15 @@ MATERIAL_MS = float(os.environ.get("SKEW_MATERIAL_MS", "5000"))
 UI_PORT = int(os.environ.get("SKEW_UI_PORT", "4050"))
 
 
+_UI_BASE = [f"http://localhost:{UI_PORT}"]
+
+
 def _get(path: str):
+    # _UI_BASE is rebound to THIS session's uiWebUrl after startup — a
+    # port collision makes Spark bind port+1 (spark.port.maxRetries), and
+    # querying the fixed port would read some OTHER app's stages
     with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1{path}", timeout=30
+        f"{_UI_BASE[0]}/api/v1{path}", timeout=30
     ) as r:
         return json.loads(r.read().decode("utf-8"))
 
@@ -61,6 +67,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    if ui:
+        _UI_BASE[0] = ui
 
     from graphrag_rs_spark.config import PipelineConfig
     from graphrag_rs_spark.fixtures import ScaledVocab, transcripts_df
@@ -105,7 +114,10 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — stage evicted from the UI store
             continue
         lo, med, hi = summ["executorRunTime"]
-        ratio = (hi / med) if med > 0 else float("inf")
+        # med == 0 with a real max IS maximally skewed; use a large FINITE
+        # sentinel so the verdict line stays strict JSON (inf -> Infinity
+        # is not parseable by non-Python consumers)
+        ratio = (hi / med) if med > 0 else (0.0 if hi == 0 else 1e9)
         material = hi >= MATERIAL_MS
         rows.append((sid, st["name"].split(" ")[0], n_tasks, med, hi, ratio,
                      material))
